@@ -1,0 +1,5 @@
+#!/bin/bash
+# Fast CPU test run: bypass the axon TPU sitecustomize (~70 s of tunnel
+# handshake per interpreter start) — unit tests are CPU-only by design.
+cd "$(dirname "$0")"
+PYTHONPATH=/root/repo JAX_PLATFORMS=cpu exec python -m pytest tests/ -q "$@"

@@ -1,0 +1,240 @@
+"""Typed configuration for the srbx engine.
+
+One typed, hashable config tree replaces the reference's three-tier config
+system (compile-time macros in `include/global_loco_opts.h:8-31`, positional
+`fscanf` param files routed by filename substring in `src/Parameters.cpp:9-166`,
+and in-code hard-coded gains, e.g. `src/MPC_dist.cpp:170-188`).
+
+All dataclasses are frozen and contain only hashable leaves so they can be
+closed over by `jax.jit` as static configuration. Anything that is a traced
+array at runtime lives in state pytrees instead (see srbx.mpc / srbx.agent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class Gait(enum.IntEnum):
+    """Gait IDs (reference: `include/global_loco_opts.h:38-45`)."""
+
+    STAND = 0
+    POSE = 1
+    TAP = 2
+    INPLACE_WALK = 3
+    INPLACE_TROT = 4
+    WALK = 5
+    TROT = 6
+    PACE = 7
+
+
+# Leg ordering FR, FL, RR, RL (reference: `include/global_loco_opts.h:33-36`).
+FR, FL, RR, RL = 0, 1, 2, 3
+
+TOTAL_DOF = 18  # floating base (6) + 12 actuated joints
+TOTAL_IN = 12   # actuated joints
+
+
+@dataclasses.dataclass(frozen=True)
+class LipConfig:
+    """LIP template model (reference: `src/MPC_dist.cpp:99-127`)."""
+
+    g: float = 9.81
+    h: float = 0.29           # pendulum height
+    ts: float = 0.043         # grid time length TSOPTTICK * 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class SrbConfig:
+    """Single-rigid-body template (reference: `src/forceUpdate.cpp:5-9`)."""
+
+    mass: float = 12.453
+    # Row-major body inertia tensor.
+    inertia: tuple = (
+        (0.01683993, 8.3902e-5, 0.000597679),
+        (8.3902e-5, 0.056579028, 2.5134e-5),
+        (0.000597679, 2.5134e-5, 0.064713601),
+    )
+    g: float = 9.81
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """Event-based NMPC settings (reference: `src/MPC_dist.cpp:81-454`,
+    `include/global_loco_opts.h:8-15`, `include/dec_vars_constr_cost.h:59-60`).
+    """
+
+    lip: LipConfig = LipConfig()
+    n_state: int = 4          # (x, xd, y, yd)
+    n_input: int = 2          # COP (ux, uy)
+    horizon: int = 4          # N = CTRL_HORIZ * NDOMAIN
+    ndomain: int = 4          # grids per domain
+    total_steps: int = 700    # TOTALSTEPNUM
+    # Cost weights (reference: `src/MPC_dist.cpp:170-176`).
+    q_weight: float = 3e2
+    r_weight: float = 1e-1
+    p_weight: float = 2e3
+    slack_weight: float = 0.3e4
+    # COP box half-width mu*h/sqrt(2) uses this mu (reference `:90,315`).
+    mu: float = 0.7
+    box_bound: float = 1e3    # +-1e3 state/input box (reference `:317-318`)
+    goal: tuple = (10.0, 0.0)  # GOAL_X, GOAL_Y
+    # CBF-NLP stage (reference: `include/dec_vars_constr_cost.h:262-317,401`).
+    use_sqp: bool = True      # analogue of `use_snopt`
+    sqp_iters: int = 4
+    cbf_eps: float = 1.9      # squared-distance safety margin epsilon
+    vel_sat: float = 0.35     # +-0.35 m/s velocity saturation
+    n_obstacles: int = 20     # NUMBER_OF_OBS
+    fail_radius: float = 0.5  # failure detector (reference `src/MPC_dist.cpp:28`)
+
+    @property
+    def max_contacts(self) -> int:
+        return 4
+
+    @property
+    def n_lambda(self) -> int:
+        """Padded lambda count: ndomain * max_contacts."""
+        return self.ndomain * self.max_contacts
+
+    @property
+    def num_dec(self) -> int:
+        """Padded decision count: n*N + m*N + ndomain*4 + slack."""
+        return (
+            self.n_state * self.horizon
+            + self.n_input * self.horizon
+            + self.n_lambda
+            + 1
+        )
+
+    @property
+    def n_eq(self) -> int:
+        """Equality rows: n*N (dynamics) + m*N (COP) + m*N/2 (sum lambda)."""
+        nN, mN = self.n_state * self.horizon, self.n_input * self.horizon
+        return nN + mN + mN // 2
+
+    @property
+    def n_ineq(self) -> int:
+        """Padded inequality rows: 2m(N-1) + 2nN + 2mN + 2*ndomain*4."""
+        nN, mN = self.n_state * self.horizon, self.n_input * self.horizon
+        return 2 * self.n_input * (self.horizon - 1) + 2 * nN + 2 * mN + 2 * self.n_lambda
+
+    @property
+    def n_ineq_sqp(self) -> int:
+        """SQP subproblem inequality rows: QP rows + 4 CBF + 2*8 velocity."""
+        return self.n_ineq + 4 + 16
+
+
+@dataclasses.dataclass(frozen=True)
+class QpConfig:
+    """Interior-point solver settings, matching iSWIFT semantics
+    (reference: `optimization/iSWIFT/include/GlobalOptions.h:23-26`).
+    """
+
+    max_iters: int = 25
+    abstol: float = 1e-6
+    reltol: float = 1e-6
+    # Static KKT regularization (the vendored LDL does dynamic regularization;
+    # a fixed quasidefinite shift is the batched/lockstep equivalent).
+    reg_primal: float = 1e-9
+    reg_dual: float = 1e-9
+    sigma_min: float = 1e-12
+    step_frac: float = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class LowLevelConfig:
+    """1 kHz QP torque controller (reference: `src/LowLevelCtrl.cpp:18-226`,
+    param file `params/LL_w_CLF.txt` via `src/Parameters.cpp:95-133`).
+    """
+
+    mu: float = 0.6
+    kp: float = 150.0
+    kd: float = 15.0
+    use_clf: bool = False
+    tau_pen: float = 1e-2
+    df_pen: float = 1.0
+    aux_pen: float = 1e6
+    clf_pen: float = 1e2
+    aux_max: float = 1e10
+    clf_eps: float = 0.2
+    # Per-joint torque saturation (hip, thigh, calf), reference
+    # `include/LowLevelCtrl.hpp` `sat` usage at `src/LowLevelCtrl.cpp:168`.
+    sat: tuple = (33.5, 33.5, 33.5)
+    ctrl_hz: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    """Gait scheduling / swing parameters (reference: `src/MotionPlanner.cpp`,
+    `params/Walking_Params.txt` ordering in `src/Parameters.cpp:135-166`).
+    """
+
+    stand_height: float = 0.26
+    swing_height: float = 0.09
+    fwd_speed: float = 0.0
+    lat_speed: float = 0.0
+    yaw_speed: float = 0.0
+    # TROT domain length in ticks = TSOPTTICK ms * 4 grids
+    # (reference: `src/MotionPlanner.cpp:230`).
+    ts_opt_tick: int = 43
+    grids_per_domain: int = 4
+    max_phase: float = 1.05   # stale-solution clamp (`src/LocoWrapper.cpp:45`)
+
+    @property
+    def trot_dom_ticks(self) -> int:
+        return self.ts_opt_tick * self.grids_per_domain
+
+
+@dataclasses.dataclass(frozen=True)
+class RefPlanConfig:
+    """APF reference planner (reference: `src/MPC_dist.cpp:930-1104` (4-agent)
+    and `src/LocoWrapper.cpp:254-432` (2-agent))."""
+
+    n_agents: int = 2
+    n_obstacles: int = 20
+    # (alpha, eta, dmin, epsilon_lj, sigma_lj) — 2-agent variant defaults
+    # from `src/LocoWrapper.cpp:256-257`; 4-agent variant uses
+    # (150, 400, 1.0, 60, 1.0) with a 1000-iter ramp-up (`src/MPC_dist.cpp:932-933`).
+    alpha: float = 100.0
+    eta: float = 200.0
+    dmin: float = 2.0
+    lj_epsilon: float = 1.0
+    lj_sigma: float = 0.75
+    ramp_up_iters: int = 0
+    loop_size: int = 100_000
+    downsample: int = 40
+    goal: tuple = (10.0, 0.0)
+    # Double-integrator discretization constants (reference
+    # `src/LocoWrapper.cpp:265-279` / `src/MPC_dist.cpp:942-960`): these are
+    # exp(-c/m * Ts)-style entries; we recompute them from (c, m, Ts) —
+    # see srbx.refplan.discretize_apf — instead of hard-coding.
+    damping_c: float = 625.0
+    mass_m: float = 8.0
+    ts: float = 0.043 / 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TeamConfig:
+    """Multi-agent team layout."""
+
+    n_agents: int = 2
+    n_obstacles: int = 20
+    goal: tuple = (10.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level bundle."""
+
+    mpc: MpcConfig = MpcConfig()
+    qp: QpConfig = QpConfig()
+    lowlevel: LowLevelConfig = LowLevelConfig()
+    motion: MotionConfig = MotionConfig()
+    refplan: RefPlanConfig = RefPlanConfig()
+    team: TeamConfig = TeamConfig()
+    srb: SrbConfig = SrbConfig()
+
+
+DEFAULT = EngineConfig()
