@@ -1,0 +1,220 @@
+"""Batched dense primal-dual interior-point QP solver.
+
+Solves   min ½ xᵀP x + cᵀx   s.t.  A x = b,  G x ≤ h
+with a Mehrotra predictor-corrector method, replacing the reference's sparse
+iSWIFT solver (`optimization/iSWIFT/src/Prime.c:35-287`, `Auxilary.c:5-758`)
+and its vendored LDL factorization. Semantics match iSWIFT's settings
+(MAXIT 25, RELTOL/ABSTOL 1e-6, `optimization/iSWIFT/include/GlobalOptions.h:23-26`).
+
+TPU-first design decisions:
+  * problems are tiny (n≈25-41) and batched by the thousands — all shapes are
+    static; the parallel axis is the batch (`jax.vmap`), not the matrix;
+  * instead of a sparse LDLᵀ with AMD ordering and dynamic regularization
+    (what iSWIFT+LDL do), the condensed KKT system
+        [P + Gᵀ diag(z/s) G + δI   Aᵀ ]
+        [A                         -δI]
+    is quasidefinite, so it is solved with two dense Cholesky factorizations
+    (Schur complement), which XLA batches efficiently;
+  * every lane runs in lockstep: convergence is tracked per lane with masked
+    updates, and the loop exits when all lanes converge (or MAXIT).
+
+Padding conventions (used by srbx.ocp to keep shapes static across contact
+modes): inert inequality rows are (g=0, h=1) and inert equality rows are
+(a=0, b=0) — both are exactly feasible and, with the quasidefinite
+regularization, leave the KKT factorization well-posed.
+
+A Pallas fused-kernel implementation of the same iteration lives in
+srbx.ops.qp_pallas; this module is the reference path and the vmap fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from srbx.config import QpConfig
+
+
+class QpSolution(NamedTuple):
+    x: jax.Array          # primal solution (n,)
+    y: jax.Array          # equality multipliers (me,)
+    z: jax.Array          # inequality multipliers (mi,)
+    s: jax.Array          # inequality slacks (mi,)
+    iters: jax.Array      # iterations taken (scalar int)
+    converged: jax.Array  # scalar bool
+    res: jax.Array        # final max KKT residual (scalar)
+    gap: jax.Array        # final duality measure sᵀz/mi (scalar)
+
+    @property
+    def obj(self):
+        """Not stored; compute via qp_objective."""
+        raise AttributeError("use qp_objective(P, c, sol.x)")
+
+
+def qp_objective(P, c, x):
+    return 0.5 * x @ (P @ x) + c @ x
+
+
+def _chol_solve(chol_l, rhs):
+    """Solve (L Lᵀ) x = rhs with rhs (..., k) or (..., k, m)."""
+    vec = rhs.ndim == chol_l.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    t = jax.scipy.linalg.solve_triangular(chol_l, rhs, lower=True)
+    out = jax.scipy.linalg.solve_triangular(chol_l.T, t, lower=False)
+    return out[..., 0] if vec else out
+
+
+class _Kkt(NamedTuple):
+    l_m: jax.Array        # cholesky of M = P + GᵀWG + δI
+    l_s: jax.Array        # cholesky of S = A M⁻¹ Aᵀ + δI
+    minv_at: jax.Array    # M⁻¹ Aᵀ  (n, me)
+
+
+def _kkt_factor(P, A, G, w, delta_p, delta_d):
+    """Factor the condensed, regularized KKT system for weights w = z/s."""
+    n = P.shape[-1]
+    me = A.shape[-2]
+    m_mat = P + (G * w[..., None]).T @ G + delta_p * jnp.eye(n, dtype=P.dtype)
+    l_m = jnp.linalg.cholesky(m_mat)
+    minv_at = _chol_solve(l_m, A.T)
+    s_mat = A @ minv_at + delta_d * jnp.eye(me, dtype=P.dtype)
+    l_s = jnp.linalg.cholesky(s_mat)
+    return _Kkt(l_m, l_s, minv_at)
+
+
+def _kkt_solve(kkt: _Kkt, A, r1, r2):
+    """Solve  M dx + Aᵀ dy = r1,  A dx - δ dy = r2  (δ folded into S)."""
+    t = _chol_solve(kkt.l_m, r1)
+    dy = _chol_solve(kkt.l_s, A @ t - r2)
+    dx = t - kkt.minv_at @ dy
+    return dx, dy
+
+
+def _step_to_boundary(v, dv):
+    """max alpha in (0, 1] with v + alpha dv >= 0 (v > 0)."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
+
+
+def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] = None):
+    """Solve one QP. Batch with jax.vmap; all operands are single-problem.
+
+    x0 optionally warm-starts the primal variable (the SQP loop uses this —
+    the analogue of handing the iSWIFT solution to SNOPT as the NLP initial
+    point, `src/MPC_dist.cpp:356-404`).
+    """
+    dtype = P.dtype
+    n = P.shape[-1]
+    me = A.shape[-2]
+    mi = G.shape[-2]
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    # ---------------- Initialization (OOQP/Mehrotra style) ---------------- #
+    kkt0 = _kkt_factor(P, A, G, jnp.ones((mi,), dtype), 1.0, cfg.reg_dual)
+    if x0 is None:
+        x, y = _kkt_solve(kkt0, A, -c + G.T @ h, b)
+    else:
+        x = x0
+        _, y = _kkt_solve(kkt0, A, -c + G.T @ h, b)
+    s_tilde = h - G @ x
+    shift = jnp.maximum(0.0, -1.5 * jnp.min(s_tilde)) + 1.0
+    s = s_tilde + shift
+    z = jnp.ones((mi,), dtype)
+
+    # Residual scaling (relative tolerance denominators).
+    norm_data = jnp.maximum(
+        jnp.maximum(jnp.abs(c).max(), jnp.abs(b).max() if me else 0.0),
+        jnp.maximum(jnp.abs(h).max(), 1.0),
+    )
+
+    def residuals(x, y, s, z):
+        rx = P @ x + c + A.T @ y + G.T @ z
+        ry = A @ x - b
+        rz = G @ x + s - h
+        return rx, ry, rz
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(done))
+
+    def body(carry):
+        x, y, s, z, it, _ = carry
+        rx, ry, rz = residuals(x, y, s, z)
+        mu = (s @ z) / mi
+
+        w = z / s
+        kkt = _kkt_factor(P, A, G, w, cfg.reg_primal, cfg.reg_dual)
+
+        # Affine (predictor) direction: target s∘z -> 0.
+        r_c = -s * z
+        r1 = -rx - G.T @ (r_c / s + w * rz)
+        dx_a, dy_a = _kkt_solve(kkt, A, r1, -ry)
+        ds_a = -rz - G @ dx_a
+        dz_a = (r_c - z * ds_a) / s
+
+        alpha_p_a = _step_to_boundary(s, ds_a)
+        alpha_d_a = _step_to_boundary(z, dz_a)
+        mu_aff = ((s + alpha_p_a * ds_a) @ (z + alpha_d_a * dz_a)) / mi
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, cfg.sigma_min)) ** 3, 0.0, 1.0)
+
+        # Corrector direction (same factorization).
+        r_c2 = sigma * mu - s * z - ds_a * dz_a
+        r1c = -rx - G.T @ (r_c2 / s + w * rz)
+        dx, dy = _kkt_solve(kkt, A, r1c, -ry)
+        ds = -rz - G @ dx
+        dz = (r_c2 - z * ds) / s
+
+        alpha_p = cfg.step_frac * _step_to_boundary(s, ds)
+        alpha_d = cfg.step_frac * _step_to_boundary(z, dz)
+
+        x_n = x + alpha_p * dx
+        s_n = s + alpha_p * ds
+        y_n = y + alpha_d * dy
+        z_n = z + alpha_d * dz
+
+        # NaN guard: an (infeasible / numerically broken) lane freezes at its
+        # last finite iterate instead of poisoning the batch.
+        finite = jnp.logical_and(
+            jnp.isfinite(x_n).all(),
+            jnp.logical_and(jnp.isfinite(s_n).all(), jnp.isfinite(z_n).all()),
+        )
+        x_n = jnp.where(finite, x_n, x)
+        y_n = jnp.where(finite, y_n, y)
+        s_n = jnp.where(finite, s_n, s)
+        z_n = jnp.where(finite, z_n, z)
+
+        rx_n, ry_n, rz_n = residuals(x_n, y_n, s_n, z_n)
+        mu_n = (s_n @ z_n) / mi
+        res = jnp.maximum(
+            jnp.maximum(jnp.abs(rx_n).max(), jnp.abs(ry_n).max() if me else 0.0),
+            jnp.abs(rz_n).max(),
+        )
+        converged = jnp.logical_and(
+            res <= cfg.abstol + cfg.reltol * norm_data, mu_n <= cfg.abstol
+        )
+        done = jnp.logical_or(converged, jnp.logical_not(finite))
+        return x_n, y_n, s_n, z_n, it + 1, done
+
+    init = (x, y, s, z, jnp.zeros((), jnp.int32), jnp.asarray(False))
+    x, y, s, z, iters, _ = jax.lax.while_loop(cond, body, init)
+
+    rx, ry, rz = residuals(x, y, s, z)
+    res = jnp.maximum(
+        jnp.maximum(jnp.abs(rx).max(), jnp.abs(ry).max() if me else 0.0),
+        jnp.abs(rz).max(),
+    )
+    gap = (s @ z) / mi
+    converged = jnp.logical_and(
+        res <= cfg.abstol + cfg.reltol * norm_data, gap <= cfg.abstol
+    )
+    return QpSolution(x, y, z, s, iters, converged, res, gap)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve_batch(P, c, A, b, G, h, cfg: QpConfig = QpConfig()):
+    """vmap over a leading batch axis on every operand."""
+    return jax.vmap(lambda *o: solve(*o, cfg))(P, c, A, b, G, h)
