@@ -1,0 +1,182 @@
+"""Batched success-rate campaigns — the de-facto integration test of the
+reference (`src/A1_Sim.cpp:811-1274`), redesigned as one jitted program.
+
+The reference runs NUMBER_OF_SIMS randomized-obstacle scenarios serially,
+each 60 s of 1 kHz sim, under both solvers (QP-only vs SNOPT A/B,
+`src/A1_Sim.cpp:983,1167-1176`), with failure = any agent within 0.5 m of a
+real obstacle (`src/MPC_dist.cpp:21-40`). Here:
+
+  * scenarios are a batch axis (vmap / shard_map over devices);
+  * the per-scenario loop over gait domains is a lax.scan whose carry is the
+    full multi-agent controller state;
+  * the closed loop runs at template level: the plant is the LIP itself
+    landing on the planned terminal knot, plus an optional per-domain
+    disturbance (the analogue of the reference's external-force
+    disturbance generator, `src/A1_Sim.cpp:84-107`);
+  * neighbor-state exchange is a gather along the agent axis (the in-chip
+    form of the `shared_structs` cross-reads; the multi-chip form lowers to
+    collectives in srbx.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srbx import gait as gaitmod
+from srbx import mpc, refplan
+from srbx.config import Gait, MpcConfig, QpConfig
+from srbx.ocp import default_footholds
+
+
+@dataclasses.dataclass(frozen=True)
+class CampaignConfig:
+    n_agents: int = 2
+    n_domains: int = 120          # ~ 60 s / 172 ms-per-domain + stand
+    n_obstacles: int = 20
+    disturbance: float = 0.0      # per-domain velocity kick (m/s, std)
+    fail_radius: float = 0.5
+    obstacle_uncertainty: float = 0.6
+    inter_agent_cbf: bool = False
+
+
+class CampaignResult(NamedTuple):
+    success: jax.Array        # (..., n_agents) bool — never within fail radius
+    fail_distance: jax.Array  # (..., n_agents) ||q|| at first failure (0 if none)
+    min_clearance: jax.Array  # (..., n_agents) min obstacle distance over run
+    final_xy: jax.Array       # (..., n_agents, 2)
+    qp_ok_frac: jax.Array     # (...,) fraction of converged cycles
+    traj: jax.Array           # (..., n_domains, n_agents, 2) COM track
+
+
+def sample_obstacles(key, n_scenarios: int, n_obstacles: int, uncertainty: float = 0.6):
+    """Randomized obstacle fields (reference `src/A1_Sim.cpp:940-981`):
+    nominal positions U([0,9] x [-2,2]); real positions = nominal + U(+-0.6)
+    clamped to [1,9] x [-3,3]."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    xs = jax.random.uniform(k1, (n_scenarios, n_obstacles), minval=0.0, maxval=9.0)
+    ys = jax.random.uniform(k2, (n_scenarios, n_obstacles), minval=-2.0, maxval=2.0)
+    pobs = jnp.stack([xs, ys], axis=1)                    # (S, 2, n_obs)
+    noise = jax.random.uniform(
+        k3, (n_scenarios, 2, n_obstacles), minval=-uncertainty, maxval=uncertainty
+    )
+    real = pobs + noise
+    real = real.at[:, 0].set(jnp.clip(real[:, 0], 1.0, 9.0))
+    real = real.at[:, 1].set(jnp.clip(real[:, 1], -3.0, 3.0))
+    return pobs, real
+
+
+def _contact_table(n_domains: int, dtype):
+    """(n_domains, 4) trot stance table starting after the stand domain."""
+    sched = gaitmod.contact_schedule(Gait.TROT, max(n_domains + 2, 12))
+    return jnp.asarray(sched[:n_domains], dtype)
+
+
+def run_scenario(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref: refplan.RefTraj,
+    p_start,
+    pobs_real,
+    key,
+):
+    """One scenario, all agents, scanned over gait domains. vmap me."""
+    dtype = ref.pr.dtype
+    na = camp.n_agents
+    agent0 = p_start.reshape(na, 2).astype(dtype)
+    contacts = _contact_table(camp.n_domains, dtype)
+
+    pr = ref.pr.reshape(na, 2, -1)
+    prd = ref.prd.reshape(na, 2, -1)
+
+    def agent_cycle(carry_a, q_a, dq_a, ci, other_state, init_a, pr_a, prd_a):
+        return mpc.run_nmpc(
+            cfg, qp_cfg, carry_a, q_a, dq_a,
+            default_footholds(q_a), ci,
+            pr_a, prd_a, init_a, pobs_real,
+            state_other=other_state,
+            agent_circle_eps=cfg.cbf_eps if camp.inter_agent_cbf else 0.0,
+        )
+
+    def step(carry, inp):
+        carries, q, dq, failed, fail_dist, min_clear, ok_cnt = carry
+        ci, key_d = inp
+        # neighbor exchange: each agent sees the next agent's (x, y, dx, dy)
+        other = jnp.concatenate([q, dq], axis=1)          # (na, 4)
+        other = jnp.roll(other, shift=-1, axis=0)
+        out = jax.vmap(agent_cycle, in_axes=(0, 0, 0, None, 0, 0, 0, 0))(
+            carries, q, dq, ci, other, agent0, pr, prd
+        )
+        q_n = out.states[:, -1, jnp.asarray([0, 2])]
+        dq_n = out.states[:, -1, jnp.asarray([1, 3])]
+        if camp.disturbance > 0:
+            dq_n = dq_n + camp.disturbance * jax.random.normal(key_d, dq_n.shape, dtype)
+
+        # failure detector (`src/MPC_dist.cpp:21-40`), latched per agent
+        d_obs = jnp.linalg.norm(
+            q_n[:, :, None] - pobs_real[None, :, :], axis=1
+        )                                                  # (na, n_obs)
+        clear = jnp.min(d_obs, axis=1)
+        newly_failed = jnp.logical_and(clear < camp.fail_radius, ~failed)
+        fail_dist = jnp.where(
+            newly_failed, jnp.linalg.norm(q_n, axis=1), fail_dist
+        )
+        failed = jnp.logical_or(failed, newly_failed)
+        min_clear = jnp.minimum(min_clear, clear)
+        ok_cnt = ok_cnt + jnp.sum(out.qp_converged).astype(jnp.int32)
+
+        new_carry = (out.carry, q_n, dq_n, failed, fail_dist, min_clear, ok_cnt)
+        return new_carry, q_n
+
+    carries0 = jax.vmap(lambda a: mpc.init_carry(a, dtype))(agent0)
+    init = (
+        carries0,
+        agent0,
+        jnp.zeros((na, 2), dtype),
+        jnp.zeros((na,), bool),
+        jnp.zeros((na,), dtype),
+        jnp.full((na,), jnp.inf, dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    keys = jax.random.split(key, camp.n_domains)
+    (carries, q, dq, failed, fail_dist, min_clear, ok_cnt), traj = jax.lax.scan(
+        step, init, (contacts, keys)
+    )
+    return CampaignResult(
+        success=~failed,
+        fail_distance=fail_dist,
+        min_clearance=min_clear,
+        final_xy=q,
+        qp_ok_frac=ok_cnt.astype(dtype) / (camp.n_domains * na),
+        traj=traj,
+    )
+
+
+def run_campaign(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref_cfg: refplan.RefPlanConfig,
+    p_start,
+    key,
+    n_scenarios: int,
+):
+    """Full batched campaign: sample obstacle fields, plan APF references,
+    and run every scenario's closed loop — one jitted program."""
+    k_obs, k_run = jax.random.split(key)
+    pobs, pobs_real = sample_obstacles(
+        k_obs, n_scenarios, camp.n_obstacles, camp.obstacle_uncertainty
+    )
+
+    def one(pobs_s, pobs_real_s, k):
+        ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=jnp.float64
+                               if jax.config.jax_enable_x64 else jnp.float32)
+        return run_scenario(cfg, qp_cfg, camp, ref, p_start, pobs_real_s, k)
+
+    keys = jax.random.split(k_run, n_scenarios)
+    return jax.vmap(one)(pobs, pobs_real, keys)

@@ -1,0 +1,220 @@
+"""NMPC optimal-control-problem assembly as pure, batched functions.
+
+Builds the event-based LIP MPC quadratic program of `MPC_dist::run_NMPC`
+(`src/MPC_dist.cpp:81-454`) with static padded shapes:
+
+  decision x = [ x_1..x_N (4 each) | u_1..u_N (2 each) | lambda (4 per grid,
+                 one slot per leg, padded) | slack ]          -> n = 41
+  equalities  : LIP dynamics rollout, COP = sum(foothold * lambda),
+                sum(lambda) = 1 per grid                      -> me = 28
+  inequalities: |com_k - u_{k+1}| <= mu*h/sqrt(2), +-box on x and u,
+                0 <= lambda <= 1                              -> mi = 92
+
+Variable contact count (2 vs 4, `src/MPC_dist.cpp:132-135`) is handled by
+masking: absent legs get zero foothold columns, are dropped from the
+sum-lambda row, and get unit diagonal cost pinning their lambda to 0 — the
+compacted solution of the reference is recovered exactly (test-verified).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srbx.config import MpcConfig
+from srbx.models import lip
+
+
+class OcpData(NamedTuple):
+    """Padded QP operands, ready for srbx.ops.qp (batched via vmap)."""
+
+    P: jnp.ndarray
+    c: jnp.ndarray
+    A: jnp.ndarray
+    b: jnp.ndarray
+    G: jnp.ndarray
+    h: jnp.ndarray
+
+
+def reference_window(pr, prd, agent_id: int, gait_domain, horizon: int):
+    """Slice the N-knot desired-COM window from the refined APF trajectory.
+
+    Matches `copPlanner_eventbase` (`src/MPC_dist.cpp:702-782`): rows of the
+    (4, N) window are (x, dx, y, dy); window k of agent a reads columns
+    [N*gait_domain, N*gait_domain + N) of Pr/Prd rows 2a (x) and 2a+1 (y).
+
+    pr, prd: (2*n_agents, T) position / velocity reference tables.
+    gait_domain may be a traced integer (dynamic_slice).
+    """
+    start = gait_domain * horizon
+    px = jnp.stack(
+        [
+            jnp.asarray(pr)[2 * agent_id],
+            jnp.asarray(prd)[2 * agent_id],
+            jnp.asarray(pr)[2 * agent_id + 1],
+            jnp.asarray(prd)[2 * agent_id + 1],
+        ]
+    )
+    return jax.lax.dynamic_slice_in_dim(px, start, horizon, axis=1)
+
+
+def assemble(cfg: MpcConfig, x0, ref_traj, foothold_xy, contact_ind, dtype=None):
+    """Build the padded NMPC QP.
+
+    Args:
+      cfg: MpcConfig (static).
+      x0: (4,) current LIP state (x, dx, y, dy) (`src/MPC_dist.cpp:226-229`).
+      ref_traj: (4, N) desired (x, dx, y, dy) knots from reference_window.
+      foothold_xy: (2, 4) world xy of each leg's foothold (FR, FL, RR, RL)
+        — `footholdsPlanner` output (`src/MPC_dist.cpp:1204-1266`).
+      contact_ind: (4,) 0/1 contact mask for the current domain.
+
+    Returns OcpData with shapes (n,n),(n,),(me,n),(me,),(mi,n),(mi,).
+    """
+    dtype = dtype or x0.dtype
+    n_s, m, N, nd = cfg.n_state, cfg.n_input, cfg.horizon, cfg.ndomain
+    nN, mN = n_s * N, m * N
+    n_lam = cfg.n_lambda
+    n = cfg.num_dec
+    me = cfg.n_eq
+    mi = cfg.n_ineq
+
+    contact_ind = contact_ind.astype(dtype)
+    ad, bd = lip.discrete(cfg.lip)
+    ad = jnp.asarray(ad, dtype)
+    bd = jnp.asarray(bd, dtype)
+
+    # ------------------------------ cost ---------------------------------- #
+    q_diag = np.zeros(n)
+    q_diag[:nN] = cfg.q_weight
+    q_diag[n_s * (N - 1) : nN] = cfg.p_weight          # terminal block
+    q_diag[nN : nN + mN] = cfg.r_weight
+    q_diag[-1] = cfg.slack_weight
+    p_mat = jnp.asarray(np.diag(q_diag), dtype)
+    # Pin padded lambda slots (absent legs) with a stiff cost; real slots
+    # cost 0 as in the reference. The pinned slots have zero foothold columns
+    # and are excluded from the sum-lambda rows, so any residual interior
+    # value (~sqrt(gap/weight)) is inert for the trajectory.
+    lam_mask = jnp.tile(contact_ind, (nd,))            # (16,) grid-major
+    lam_cost = 1e2 * (1.0 - lam_mask)
+    p_mat = p_mat.at[
+        jnp.arange(nN + mN, nN + mN + n_lam), jnp.arange(nN + mN, nN + mN + n_lam)
+    ].set(lam_cost)
+
+    ref_vec = ref_traj.T.reshape(-1).astype(dtype)     # knot-major (4 per knot)
+    weights = jnp.asarray(q_diag[:nN], dtype)
+    c = jnp.zeros((n,), dtype).at[:nN].set(-ref_vec * weights)
+
+    # --------------------------- equalities ------------------------------- #
+    a_eq = jnp.zeros((me, n), dtype)
+    b_eq = jnp.zeros((me,), dtype)
+
+    # LIP rollout: x_1 = Ad x0 + Bd u_1 ; x_{k+1} = Ad x_k + Bd u_{k+1}
+    # (reference rows `src/MPC_dist.cpp:252-260`). Written as
+    # (Abig - I) x + Bbig u = -Abigx0 x0, with Abig the block-subdiagonal
+    # of Ad built via kron with the shift pattern.
+    shift = np.zeros((N, N))
+    for i in range(N - 1):
+        shift[i + 1, i] = 1.0
+    a_dyn = jnp.kron(jnp.asarray(shift, dtype), ad) - jnp.eye(nN, dtype=dtype)
+    b_dyn = jnp.kron(jnp.eye(N, dtype=dtype), bd)
+    a_eq = a_eq.at[:nN, :nN].set(a_dyn)
+    a_eq = a_eq.at[:nN, nN : nN + mN].set(b_dyn)
+    b_eq = b_eq.at[:n_s].set(-(ad @ x0.astype(dtype)))
+
+    # COP = foothold combination: u_k - Fp_k lambda_k = 0
+    # (`src/MPC_dist.cpp:255-257`): Fp_k = foothold_xy * mask, same for all k
+    # of the domain (footholdsPlanner repeats the current footholds).
+    fp = foothold_xy.astype(dtype) * contact_ind[None, :]   # (2, 4)
+    for k in range(N):
+        a_eq = a_eq.at[
+            nN + k * m : nN + (k + 1) * m, nN + k * m : nN + (k + 1) * m
+        ].set(jnp.eye(m, dtype=dtype))
+        a_eq = a_eq.at[
+            nN + k * m : nN + (k + 1) * m, nN + mN + 4 * k : nN + mN + 4 * (k + 1)
+        ].set(-fp)
+
+    # sum(lambda_k) = 1 over present legs (`src/MPC_dist.cpp:258-261`).
+    for k in range(N):
+        a_eq = a_eq.at[nN + mN + k, nN + mN + 4 * k : nN + mN + 4 * (k + 1)].set(
+            contact_ind
+        )
+        b_eq = b_eq.at[nN + mN + k].set(1.0)
+
+    # -------------------------- inequalities ------------------------------ #
+    g = jnp.zeros((mi, n), dtype)
+    h = jnp.ones((mi,), dtype)
+
+    # |com_k - u_{k+1}| <= mu*h/sqrt(2) (`src/MPC_dist.cpp:278-292,315`):
+    # row pair i couples state knot i (x_{i+1}) with input u_{i+2}.
+    xsel = np.zeros((m, n_s))
+    xsel[0, 0] = 1.0
+    xsel[1, 2] = 1.0
+    gsubx = np.zeros((m * (N - 1), nN))
+    gsubu = np.zeros((m * (N - 1), mN))
+    for i in range(N - 1):
+        gsubx[i * m : (i + 1) * m, i * n_s : (i + 1) * n_s] = xsel
+        gsubu[i * m : (i + 1) * m, (i + 1) * m : (i + 2) * m] = np.eye(m)
+    r0 = 0
+    g = g.at[r0 : r0 + m * (N - 1), :nN].set(jnp.asarray(gsubx, dtype))
+    g = g.at[r0 : r0 + m * (N - 1), nN : nN + mN].set(jnp.asarray(-gsubu, dtype))
+    g = g.at[r0 + m * (N - 1) : r0 + 2 * m * (N - 1), :nN].set(
+        jnp.asarray(-gsubx, dtype)
+    )
+    g = g.at[r0 + m * (N - 1) : r0 + 2 * m * (N - 1), nN : nN + mN].set(
+        jnp.asarray(gsubu, dtype)
+    )
+    cop_bound = cfg.mu * cfg.lip.h / math_sqrt2(dtype)
+    h = h.at[: 2 * m * (N - 1)].set(cop_bound)
+
+    # +-box on states and inputs (`src/MPC_dist.cpp:294-297,317-318`).
+    r1 = 2 * m * (N - 1)
+    g = g.at[r1 : r1 + nN, :nN].set(jnp.eye(nN, dtype=dtype))
+    g = g.at[r1 + nN : r1 + 2 * nN, :nN].set(-jnp.eye(nN, dtype=dtype))
+    g = g.at[r1 + 2 * nN : r1 + 2 * nN + mN, nN : nN + mN].set(jnp.eye(mN, dtype=dtype))
+    g = g.at[r1 + 2 * nN + mN : r1 + 2 * nN + 2 * mN, nN : nN + mN].set(
+        -jnp.eye(mN, dtype=dtype)
+    )
+    h = h.at[r1 : r1 + 2 * nN + 2 * mN].set(cfg.box_bound)
+
+    # 0 <= lambda <= 1 (`src/MPC_dist.cpp:299-300,320-321`).
+    r2 = r1 + 2 * nN + 2 * mN
+    lam_cols = slice(nN + mN, nN + mN + n_lam)
+    g = g.at[r2 : r2 + n_lam, lam_cols].set(-jnp.eye(n_lam, dtype=dtype))
+    h = h.at[r2 : r2 + n_lam].set(0.0)
+    g = g.at[r2 + n_lam : r2 + 2 * n_lam, lam_cols].set(jnp.eye(n_lam, dtype=dtype))
+    h = h.at[r2 + n_lam : r2 + 2 * n_lam].set(1.0)
+
+    return OcpData(p_mat, c, a_eq, b_eq, g, h)
+
+
+def math_sqrt2(dtype):
+    return jnp.asarray(np.sqrt(2.0), dtype)
+
+
+def unpack(cfg: MpcConfig, x):
+    """Split a decision vector into (states (N,4), inputs (N,2), lambda, slack).
+
+    Mirrors `src/MPC_dist.cpp:431-440`.
+    """
+    n_s, m, N = cfg.n_state, cfg.n_input, cfg.horizon
+    nN, mN = n_s * N, m * N
+    states = x[..., :nN].reshape(*x.shape[:-1], N, n_s)
+    inputs = x[..., nN : nN + mN].reshape(*x.shape[:-1], N, m)
+    lam = x[..., nN + mN : nN + mN + cfg.n_lambda]
+    slack = x[..., -1]
+    return states, inputs, lam, slack
+
+
+def default_footholds(agent_initial, dtype=None):
+    """Nominal stance footholds before locomotion starts
+    (`src/MPC_dist.cpp:1205-1216`): initFootprint + agent initial xy."""
+    dtype = dtype or agent_initial.dtype
+    init = jnp.asarray(
+        [[0.2188, 0.2188, -0.1472, -0.1472], [-0.1320, 0.1320, -0.1320, 0.1320]],
+        dtype,
+    )
+    return init + agent_initial[:, None]

@@ -1,0 +1,130 @@
+"""Sequential convex programming for the discrete-CBF NMPC.
+
+Replaces the reference's ifopt+SNOPT NLP stage (`src/MPC_dist.cpp:363-427`,
+`include/dec_vars_constr_cost.h:217-410`). The NLP is the MPC QP plus, per
+horizon knot k:
+
+  * obstacle-distance (discrete CBF) constraints
+        (x_k - ox)^2 + (y_k - oy)^2 + slack >= eps        (eps = 1.9)
+    (`dec_vars_constr_cost.h:262-265,401`), generalized here to a set of
+    "circles" (closest obstacle, and optionally neighbor agents);
+  * velocity saturation  |dx_k|, |dy_k| <= 0.35 m/s
+    (`dec_vars_constr_cost.h:270-317`).
+
+Because the squared-distance function g is convex, its linearization
+underestimates g, so each linearized constraint g(x_j) + grad.(x - x_j) >= eps
+is a conservative (safe) inner approximation — the SQP iterates are always
+feasible for the true CBF constraint at convergence. We run a fixed number of
+full-step SCP iterations (each subproblem is solved to optimality by the
+batched IPM), warm-started from the plain-QP solution exactly as the
+reference warm-starts SNOPT from the iSWIFT solution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srbx.config import MpcConfig, QpConfig
+from srbx.ocp import OcpData
+from srbx.ops import qp
+
+
+class SqpResult(NamedTuple):
+    x: jax.Array           # final decision vector
+    converged: jax.Array   # last subproblem convergence flag
+    qp_iters: jax.Array    # IPM iterations of the last subproblem
+
+
+def _knot_xy_indices(cfg: MpcConfig):
+    ks = jnp.arange(cfg.horizon)
+    return 4 * ks, 4 * ks + 2          # x, y positions per knot
+
+
+def _vel_rows(cfg: MpcConfig, dtype):
+    """Static two-sided velocity-saturation rows (16, n)."""
+    n = cfg.num_dec
+    ks = jnp.arange(cfg.horizon)
+    vx_idx = 4 * ks + 1
+    vy_idx = 4 * ks + 3
+    idx = jnp.concatenate([vx_idx, vy_idx])            # (8,)
+    rows = jnp.zeros((8, n), dtype).at[jnp.arange(8), idx].set(1.0)
+    g = jnp.concatenate([rows, -rows], axis=0)         # (16, n)
+    h = jnp.full((16,), cfg.vel_sat, dtype)
+    return g, h
+
+
+def _cbf_rows(cfg: MpcConfig, x, circles, circle_mask, dtype):
+    """Linearized CBF rows at iterate x.
+
+    circles: (n_circ, 2) centers; circle_mask: (n_circ,) 0/1.
+    Returns (n_circ*N, n) G rows and rhs h with  G x <= h  equivalent to
+    grad_g(x_j) . x >= eps - g(x_j) + grad_g(x_j) . x_j  (masked rows inert).
+    """
+    n = cfg.num_dec
+    N = cfg.horizon
+    xi, yi = _knot_xy_indices(cfg)
+    px = x[xi]                                         # (N,)
+    py = x[yi]
+    slack = x[-1]
+
+    dx = px[None, :] - circles[:, 0:1]                 # (n_circ, N)
+    dy = py[None, :] - circles[:, 1:2]
+    g_val = dx * dx + dy * dy + slack                  # (n_circ, N)
+
+    n_circ = circles.shape[0]
+    rows = jnp.zeros((n_circ, N, n), dtype)
+    rows = rows.at[:, jnp.arange(N), xi].set(-2.0 * dx)
+    rows = rows.at[:, jnp.arange(N), yi].set(-2.0 * dy)
+    rows = rows.at[:, :, -1].set(-1.0)
+    # -grad.x <= -eps + g - grad.x_j ; grad.x_j = 2dx*px + 2dy*py + slack
+    grad_dot_xj = 2.0 * dx * px[None, :] + 2.0 * dy * py[None, :] + slack
+    rhs = -cfg.cbf_eps + g_val - grad_dot_xj           # (n_circ, N)
+
+    mask = circle_mask[:, None, None]
+    rows = rows * mask
+    rhs = jnp.where(circle_mask[:, None] > 0, rhs, 1.0)
+    return rows.reshape(n_circ * N, n), rhs.reshape(n_circ * N)
+
+
+def solve(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    data: OcpData,
+    x_init,
+    circles,
+    circle_mask,
+):
+    """Run the SCP loop from the plain-QP warm start x_init."""
+    dtype = data.P.dtype
+    vel_g, vel_h = _vel_rows(cfg, dtype)
+
+    def body(_, carry):
+        x, _, _ = carry
+        cbf_g, cbf_h = _cbf_rows(cfg, x, circles, circle_mask, dtype)
+        g_ext = jnp.concatenate([data.G, vel_g, cbf_g], axis=0)
+        h_ext = jnp.concatenate([data.h, vel_h, cbf_h], axis=0)
+        sol = qp.solve(data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg, x0=x)
+        # NaN-guard: keep previous iterate if the subproblem broke.
+        ok = jnp.isfinite(sol.x).all()
+        x_new = jnp.where(ok, sol.x, x)
+        return x_new, sol.converged, sol.iters
+
+    x, conv, iters = jax.lax.fori_loop(
+        0,
+        cfg.sqp_iters,
+        body,
+        (x_init, jnp.asarray(False), jnp.zeros((), jnp.int32)),
+    )
+    return SqpResult(x, conv, iters)
+
+
+def cbf_margins(cfg: MpcConfig, x, circles):
+    """Squared-distance CBF values per (circle, knot) — for diagnostics and
+    the trajectory-safety checks in srbx.eval."""
+    xi, yi = _knot_xy_indices(cfg)
+    dx = x[xi][None, :] - circles[:, 0:1]
+    dy = x[yi][None, :] - circles[:, 1:2]
+    return dx * dx + dy * dy + x[-1]

@@ -1,0 +1,141 @@
+"""End-to-end NMPC cycle tests: QP stage, CBF-SQP stage, Bezier continuity,
+and a template-level closed loop over many domains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srbx import mpc, refplan, sqp
+from srbx.config import MpcConfig, QpConfig
+from srbx.ocp import default_footholds
+from srbx.ops.bezier import bezier
+
+QCFG = QpConfig()
+
+
+def _setup(n_knots=2500, obstacle=None):
+    cfg_ref = refplan.two_agent_config(loop_size=40_000)
+    if obstacle is None:
+        pobs = jnp.asarray([[100.0] * 20, [100.0] * 20])
+    else:
+        pobs = jnp.asarray(
+            [[obstacle[0]] + [100.0] * 19, [obstacle[1]] + [100.0] * 19]
+        )
+    p_start = jnp.asarray([0.0, 0.0, 0.0, -1.0])
+    traj = refplan.generate(cfg_ref, p_start, pobs)
+    return traj, pobs, p_start
+
+
+def _run_cycles(cfg, traj, pobs, p_start, n_cycles, trot_mask=True):
+    """Template-level closed loop: the plant lands on the terminal knot."""
+    agent0 = p_start[:2]
+    carry = mpc.init_carry(agent0)
+    q = jnp.asarray([agent0[0], agent0[1]])
+    dq = jnp.zeros(2)
+    toe = default_footholds(agent0)
+    outs = []
+
+    @jax.jit
+    def cycle(carry, q, dq, toe, ci):
+        return mpc.run_nmpc(
+            cfg, QCFG, carry, q, dq, toe, ci,
+            traj.pr[0:2], traj.prd[0:2], agent0, pobs,
+        )
+
+    for k in range(n_cycles):
+        ci = jnp.asarray([1.0, 0.0, 0.0, 1.0]) if (trot_mask and k % 2) else jnp.asarray(
+            [0.0, 1.0, 1.0, 0.0] if trot_mask else [1.0, 1.0, 1.0, 1.0]
+        )
+        out = cycle(carry, q, dq, toe, ci)
+        outs.append(out)
+        carry = out.carry
+        # plant: one MPC cycle = one gait domain = all N grids, so perfect
+        # tracking lands the plant on the terminal knot (the alpha buffer).
+        q = jnp.asarray([out.states[-1, 0], out.states[-1, 2]])
+        dq = jnp.asarray([out.states[-1, 1], out.states[-1, 3]])
+        # footholds follow the COM (crude stance update for the template loop)
+        toe = default_footholds(q)
+    return outs
+
+
+def test_qp_stage_converges_every_cycle():
+    cfg = MpcConfig(use_sqp=False)
+    traj, pobs, p_start = _setup()
+    outs = _run_cycles(cfg, traj, pobs, p_start, 12)
+    assert all(bool(o.qp_converged) for o in outs)
+    assert all(bool(jnp.isfinite(o.states).all()) for o in outs)
+
+
+def test_closed_loop_progresses_toward_goal():
+    cfg = MpcConfig(use_sqp=False)
+    traj, pobs, p_start = _setup()
+    outs = _run_cycles(cfg, traj, pobs, p_start, 40)
+    x_final = float(outs[-1].states[-1, 0])
+    assert x_final > 0.5, f"no progress: x={x_final}"
+    # tracks the reference window to within a body length
+    ref_x = float(traj.pr[0, 40 * 4])
+    assert abs(x_final - ref_x) < 0.5
+
+
+def test_bezier_continuity_across_domains():
+    cfg = MpcConfig(use_sqp=False)
+    traj, pobs, p_start = _setup()
+    outs = _run_cycles(cfg, traj, pobs, p_start, 6)
+    for prev, nxt in zip(outs[:-1], outs[1:]):
+        end_prev = np.asarray(bezier(prev.alpha_com, 1.0))
+        start_next = np.asarray(bezier(nxt.alpha_com, 0.0))
+        np.testing.assert_allclose(start_next, end_prev, atol=1e-8)
+
+
+def test_sqp_enforces_cbf_distance():
+    """Obstacle near the path: the SQP stage must keep every knot's
+    slack-augmented squared-distance margin at or above eps=1.9."""
+    cfg = MpcConfig(use_sqp=True, sqp_iters=4)
+    obstacle = (2.0, 0.35)
+    traj, pobs, p_start = _setup(obstacle=obstacle)
+    outs = _run_cycles(cfg, traj, pobs, p_start, 30)
+    margins = np.asarray([float(o.cbf_margin) for o in outs])
+    assert margins.min() >= cfg.cbf_eps - 1e-3, f"CBF violated: {margins.min()}"
+    # agent still makes forward progress while respecting the margin
+    assert float(outs[-1].states[-1, 0]) > 0.4
+
+
+def test_cbf_blocks_head_on_obstacle():
+    """Obstacle dead ahead inside the margin: the controller must NOT drive
+    through it — it halts/retreats (the safe behavior) with margins held."""
+    cfg = MpcConfig(use_sqp=True, sqp_iters=4)
+    traj, pobs, p_start = _setup(obstacle=(1.2, 0.0))
+    outs = _run_cycles(cfg, traj, pobs, p_start, 12)
+    margins = np.asarray([float(o.cbf_margin) for o in outs])
+    assert margins.min() >= cfg.cbf_eps - 1e-3
+    # no forward penetration toward the obstacle
+    assert float(outs[-1].states[-1, 0]) < 0.2
+
+
+def test_sqp_velocity_saturation():
+    cfg = MpcConfig(use_sqp=True, sqp_iters=3)
+    traj, pobs, p_start = _setup()
+    outs = _run_cycles(cfg, traj, pobs, p_start, 10)
+    for o in outs:
+        vels = np.asarray(o.states)[:, [1, 3]]
+        assert np.abs(vels).max() <= cfg.vel_sat + 1e-5
+
+
+def test_run_nmpc_is_jittable_and_vmappable():
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+    traj, pobs, p_start = _setup()
+    agent0 = p_start[:2]
+
+    def one(q_shift):
+        carry = mpc.init_carry(agent0)
+        q = agent0 + q_shift
+        return mpc.run_nmpc(
+            cfg, QCFG, carry, q, jnp.zeros(2),
+            default_footholds(agent0), jnp.ones(4),
+            traj.pr[0:2], traj.prd[0:2], agent0, pobs,
+        ).states
+
+    batched = jax.jit(jax.vmap(one))(jnp.linspace(0, 0.01, 4)[:, None] * jnp.ones(2))
+    single = one(jnp.asarray([0.0, 0.0]))
+    assert batched.shape == (4, 4, 4)
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single), atol=1e-8)

@@ -1,0 +1,73 @@
+import jax.numpy as jnp
+import numpy as np
+
+from srbx import refplan
+
+
+def test_discretization_matches_reference_matrices():
+    """The reference hard-codes Ad/Bd (`src/LocoWrapper.cpp:265-279`,
+    `src/MPC_dist.cpp:942-960`); our ZOH closed form must reproduce them."""
+    ad, bd = refplan.discretize(600.0, 8.0, 0.0010630627843875393)
+    np.testing.assert_allclose(ad[0, 1], 0.001021788129226, atol=1e-12)
+    np.testing.assert_allclose(ad[1, 1], 0.923365890308039, atol=1e-12)
+    np.testing.assert_allclose(bd[1, 0], 0.000127723516153268, atol=1e-12)
+
+    ad4, bd4 = refplan.discretize(550.0, 8.0, 0.0010629728231878717)
+    np.testing.assert_allclose(ad4[0, 1], 0.001025061239872, atol=1e-12)
+    np.testing.assert_allclose(ad4[1, 1], 0.929527039758809, atol=1e-12)
+    np.testing.assert_allclose(bd4[1, 0], 0.000128132654983983, atol=1e-12)
+
+
+def _obstacles():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(
+        np.stack([rng.uniform(2.0, 8.0, 20), rng.uniform(-2.0, 2.0, 20)])
+    )
+
+
+def test_two_agent_plan_reaches_goal():
+    # obstacles moved out of the way (the reference's obstacle_en=false mode,
+    # `src/A1_Sim.cpp:964-968` adds +100 to the obstacle y row).
+    cfg = refplan.two_agent_config(loop_size=100_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    pobs = _obstacles() + jnp.asarray([[0.0], [100.0]])
+    traj = refplan.generate(cfg, p_start, pobs)
+    pr = np.asarray(traj.pr)
+    assert np.isfinite(pr).all()
+    assert traj.pr.shape == (4, 2500)
+    # both agents end near the goal (10, 0)
+    assert abs(pr[0, -3] - 10.0) < 0.3 and abs(pr[2, -3] - 10.0) < 0.3
+    assert abs(pr[1, -3]) < 0.6 and abs(pr[3, -3]) < 0.6
+
+
+def test_two_agent_separation_and_velocity():
+    cfg = refplan.two_agent_config(loop_size=100_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    traj = refplan.generate(cfg, p_start, _obstacles())
+    pr, prd = np.asarray(traj.pr), np.asarray(traj.prd)
+    sep = np.hypot(pr[0] - pr[2], pr[1] - pr[3])
+    assert sep.min() > 0.3, f"agents collided in reference plan: {sep.min()}"
+    speed = np.hypot(prd[0], prd[1])
+    assert speed.max() < 1.0, f"reference speed too high: {speed.max()}"
+
+
+def test_four_agent_plan_shapes_and_rampup():
+    cfg = refplan.four_agent_config(loop_size=20_000)
+    p_start = jnp.asarray([0.0, 1.5, 0.0, 0.5, 0.0, -0.5, 0.0, -1.5])
+    traj = refplan.generate(cfg, p_start, _obstacles())
+    assert traj.pr.shape == (8, 500)
+    assert bool(jnp.isfinite(traj.pr).all())
+    # ramp-up: the first knots should move slowly
+    first_step = np.abs(np.asarray(traj.pr)[:, 1] - np.asarray(traj.pr)[:, 0])
+    assert first_step.max() < 0.1
+
+
+def test_obstacle_repulsion_pushes_path_away():
+    cfg = refplan.two_agent_config(loop_size=50_000)
+    # obstacle right on the straight-line path of agent 0
+    pobs = jnp.asarray([[5.0] + [100.0] * 19, [0.25] + [100.0] * 19])
+    p_start = jnp.asarray([0.0, 0.25, 0.0, -1.0])
+    traj = refplan.generate(cfg, p_start, pobs)
+    pr = np.asarray(traj.pr)
+    d = np.hypot(pr[0] - 5.0, pr[1] - 0.25)
+    assert d.min() > 0.35, f"path came within {d.min()} of the obstacle"
