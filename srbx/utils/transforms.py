@@ -106,15 +106,16 @@ def vee(m):
 
 
 def rodrigues(axis_angle):
-    """Exponential map so(3) -> SO(3) (used by the SRB integrator)."""
-    theta = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    k = axis_angle / theta
-    k_hat = hat(k)
-    theta = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), k_hat.shape)
-    return (
-        eye
-        + jnp.sin(theta) * k_hat
-        + (1.0 - jnp.cos(theta)) * (k_hat @ k_hat)
-    )
+    """Exponential map so(3) -> SO(3) (used by the SRB integrator).
+
+    AD-safe at zero: uses R = I + a(θ²)·hat(x) + b(θ²)·hat(x)² where
+    a = sin(θ)/θ and b = (1-cos θ)/θ² are evaluated through their smooth
+    small-angle forms, never differentiating a vector norm at 0."""
+    n2 = jnp.sum(axis_angle * axis_angle, axis=-1)[..., None, None]
+    theta = jnp.sqrt(n2 + 1e-30)
+    small = n2 < 1e-12
+    a = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(theta)) / (n2 + 1e-30))
+    x_hat = hat(axis_angle)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), x_hat.shape)
+    return eye + a * x_hat + b * (x_hat @ x_hat)
