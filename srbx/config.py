@@ -149,19 +149,21 @@ class LowLevelConfig:
     param file `params/LL_w_CLF.txt` via `src/Parameters.cpp:95-133`).
     """
 
-    mu: float = 0.6
-    kp: float = 150.0
-    kd: float = 15.0
+    # Values from the campaign's param file `params/LL_w_CLF.txt` (ordering
+    # documented in `src/Parameters.cpp:95-116`).
+    mu: float = 0.7
+    kp: float = 400.0
+    kd: float = 40.0
     use_clf: bool = False
-    tau_pen: float = 1e-2
-    df_pen: float = 1.0
+    tau_pen: float = 1.0
+    df_pen: float = 0.1
     aux_pen: float = 1e6
-    clf_pen: float = 1e2
-    aux_max: float = 1e10
-    clf_eps: float = 0.2
-    # Per-joint torque saturation (hip, thigh, calf), reference
-    # `include/LowLevelCtrl.hpp` `sat` usage at `src/LowLevelCtrl.cpp:168`.
-    sat: tuple = (33.5, 33.5, 33.5)
+    clf_pen: float = 1e8
+    aux_max: float = 100.0
+    clf_eps: float = 0.8
+    # Per-joint torque saturation (hip, thigh, calf),
+    # `include/LowLevelCtrl.hpp:36`: sat = {22, 50, 50}.
+    sat: tuple = (22.0, 50.0, 50.0)
     ctrl_hz: int = 1000
 
 
@@ -171,8 +173,9 @@ class MotionConfig:
     `params/Walking_Params.txt` ordering in `src/Parameters.cpp:135-166`).
     """
 
-    stand_height: float = 0.26
-    swing_height: float = 0.09
+    # `params/Walking_params.txt` via `src/Parameters.cpp:149-166`.
+    stand_height: float = 0.28
+    swing_height: float = 0.125
     fwd_speed: float = 0.0
     lat_speed: float = 0.0
     yaw_speed: float = 0.0

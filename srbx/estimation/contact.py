@@ -1,0 +1,101 @@
+"""Contact estimation / domain-switch logic as masked fixed-shape ops.
+
+Functional port of the reference's bit-mask debouncer
+(`src/ContactEst.cpp:3-93`): per leg, a CON_MIN_TIME=10-tick history of the
+thresholded foot force; a leg's estimated contact latches on after 10
+consecutive contact ticks and off after 10 consecutive airborne ticks;
+touchdown only counts toward domain switching after phase 0.7; the domain
+changes when all four legs' control bits latch.
+
+The C version packs legs into one integer's bits; here each leg is a lane of
+a (4,)-shaped array so the whole estimator vmaps across agents/scenarios.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+CON_MIN_TIME = 10
+HIST_MASK = (1 << CON_MIN_TIME) - 1
+
+
+class ConState(NamedTuple):
+    hist: jax.Array        # (4,) int32 — last 10 thresholded samples
+    est: jax.Array         # (4,) bool  — debounced contact estimate
+    rise: jax.Array        # (4,) bool  — leg has left the ground this domain
+    stance: jax.Array      # (4,) bool  — latched stance
+    ind: jax.Array         # (4,) int32 — control contact index
+    ind_prev: jax.Array    # (4,) int32
+    des: jax.Array         # (4,) int32 — desired domain
+    change_domain: jax.Array  # () bool
+    cnt: jax.Array         # () int32
+
+
+def init(des=(1, 1, 1, 1)) -> ConState:
+    des_arr = jnp.asarray(des, jnp.int32)
+    return ConState(
+        hist=jnp.full((4,), HIST_MASK, jnp.int32),
+        est=jnp.ones((4,), bool),
+        rise=jnp.ones((4,), bool),
+        stance=jnp.ones((4,), bool),
+        ind=des_arr,
+        ind_prev=des_arr,
+        des=des_arr,
+        change_domain=jnp.asarray(False),
+        cnt=jnp.asarray(4, jnp.int32),
+    )
+
+
+def update(state: ConState, force, phase, thresh: float = 8000.0) -> ConState:
+    """One 1 kHz tick (`ContactEst::updateConState`, `src/ContactEst.cpp:20-67`).
+
+    force: (4,) foot force measurements; phase: scalar phase variable.
+    """
+    con_now = (force > thresh).astype(jnp.int32)
+    hist = ((state.hist << 1) + con_now) & HIST_MASK
+
+    all_on = hist == HIST_MASK
+    all_off = hist == 0
+    est = jnp.where(all_on, True, jnp.where(all_off, False, state.est))
+
+    phase_gate = phase > 0.7
+    stance = jnp.logical_or(state.stance, jnp.logical_and(state.ind > 0, state.rise))
+    rise = jnp.logical_or(state.rise, jnp.logical_not(est))
+    ctrl = jnp.logical_and(jnp.logical_and(rise, est), phase_gate)
+    ctrl = jnp.logical_or(ctrl, stance)
+
+    ind = ctrl.astype(jnp.int32)
+    return ConState(
+        hist=hist,
+        est=est,
+        rise=rise,
+        stance=stance,
+        ind=ind,
+        ind_prev=state.ind,
+        des=state.des,
+        change_domain=jnp.all(ctrl),
+        cnt=jnp.sum(ind).astype(jnp.int32),
+    )
+
+
+def set_des_domain(state: ConState, des) -> ConState:
+    """Start a new domain (`ContactEst::setDesDomain`, `src/ContactEst.cpp:77-89`)."""
+    des_arr = jnp.asarray(des, jnp.int32)
+    return ConState(
+        hist=state.hist,
+        est=state.est,
+        rise=des_arr > 0,
+        stance=des_arr > 0,
+        ind=des_arr,
+        ind_prev=state.ind,
+        des=des_arr,
+        change_domain=jnp.asarray(False),
+        cnt=jnp.sum(des_arr).astype(jnp.int32),
+    )
+
+
+def force_domain_change(state: ConState) -> ConState:
+    return state._replace(change_domain=jnp.asarray(True))

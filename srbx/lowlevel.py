@@ -1,0 +1,345 @@
+"""1 kHz whole-body low-level controller: virtual constraints + QP torques.
+
+Functional, statically-shaped port of the reference's L4 layer:
+
+  * `VirtualConstraints::updateVirtualConstraints`
+    (`src/VirtualConstraints.cpp:15-125`): outputs y = h0 - hd stacking the
+    base pose (6) and swing-toe positions; swing x/y track a time-varying
+    cubic Bezier toward hip + step length, z an 8-point Bezier to swing
+    height;
+  * `LowLevelCtrl::calcTorque` (`src/LowLevelCtrl.cpp:18-226`): QP over
+    [contact forces | joint torques | output defects (| CLF defect)] with
+    I/O-linearization equality constraints, friction pyramids, torque
+    bounds, and an optional CLF decrease constraint; swing-leg PD and
+    inverse-kinematics joint integration.
+
+Static padded shapes (variable contact count via masking):
+  decision x = [F (12: 3 per leg) | tau (12) | aux (18: 6 base + 3 per leg)
+                | clf defect]                                    -> n = 43
+  equalities  : contact rows (12, masked to stance legs),
+                output rows (18, masked to base + swing legs)    -> me = 30
+  inequalities: friction pyramids (20, masked), +-tau (24), CLF  -> mi = 45
+Masked legs' F slots have zero columns everywhere and are pinned by the
+dfPen cost toward a zero target; masked aux slots are pinned by auxPen.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srbx.config import LowLevelConfig, MotionConfig, QpConfig, TOTAL_DOF
+from srbx.models import a1, rbd
+from srbx.ops import bezier as bz
+from srbx.ops import qp
+
+N_DEC = 43
+N_EQ = 30
+N_INEQ = 45
+
+
+class VcOut(NamedTuple):
+    y: jax.Array        # (18,) outputs (masked rows zero)
+    dy: jax.Array       # (18,)
+    h0_mat: jax.Array   # (18, 18) output map H0 (masked rows zero)
+    dh0: jax.Array      # (18,) J̇q̇ of outputs
+    hd: jax.Array       # (18,) desired outputs
+    dhd: jax.Array      # (18,)
+    ddhd: jax.Array     # (18,)
+    out_mask: jax.Array  # (18,) 1 for active output rows
+
+
+class TrajIn(NamedTuple):
+    """Per-domain trajectory data (MotionPlanner outputs)."""
+
+    com_des: jax.Array     # (12,) pos3, vel3, ori3, omega3
+    toe_init: jax.Array    # (3, 4) toe positions at domain start
+    step_len: jax.Array    # (3,) Raibert step length
+    dom_ticks: jax.Array   # () domain length in ticks
+    toe_offset_z: jax.Array  # () ground-contact z offset
+
+
+class LLOut(NamedTuple):
+    tau: jax.Array         # (12,) joint torques
+    grf: jax.Array         # (12,) QP contact forces (per-leg 3, masked 0)
+    y: jax.Array
+    dy: jax.Array
+    ddq: jax.Array         # (18,) commanded accel
+    q_next: jax.Array      # (18,) integrated joint command
+    dq_next: jax.Array
+    v_lyap: jax.Array      # () CLF value (0 when unused)
+    dv_lyap: jax.Array
+    qp_converged: jax.Array
+
+
+def virtual_constraints(
+    ll_cfg: LowLevelConfig,
+    motion: MotionConfig,
+    q,
+    qd,
+    contact_ind,
+    phase,
+    traj: TrajIn,
+    prev_ddq,
+    toe_pos,
+    toe_jac,
+    toe_jdqd,
+    hip_pos,
+    hip_jac,
+    hip_jdqd,
+):
+    """Build outputs y/dy and the output map (padded 18-row layout:
+    rows 0..5 base pose, rows 6+3i leg i's toe)."""
+    dtype = q.dtype
+    nq = TOTAL_DOF
+    swing = 1.0 - contact_ind.astype(dtype)              # (4,)
+
+    h0_mat = jnp.zeros((18, nq), dtype)
+    h0_mat = h0_mat.at[0:6, 0:6].set(jnp.eye(6, dtype=dtype))
+    dh0 = jnp.zeros((18,), dtype)
+    hd = jnp.zeros((18,), dtype)
+    dhd = jnp.zeros((18,), dtype)
+    ddhd = jnp.zeros((18,), dtype)
+
+    # base rows
+    hd = hd.at[0:3].set(traj.com_des[0:3])
+    dhd = dhd.at[0:3].set(traj.com_des[3:6])
+    hd = hd.at[3:6].set(traj.com_des[6:9])
+    dhd = dhd.at[3:6].set(traj.com_des[9:12])
+
+    dt = traj.dom_ticks / (1.0 * ll_cfg.ctrl_hz)
+    ds = 1.0 / dt
+
+    # swing toe rows (computed for every leg, masked by `swing`)
+    hip_vel = jnp.einsum("lin,n->li", hip_jac, qd)       # (4, 3)
+    hip_acc = jnp.einsum("lin,n->li", hip_jac, prev_ddq) + hip_jdqd
+
+    def leg_traj(i):
+        ax = jnp.stack(
+            [traj.toe_init[0, i], traj.toe_init[0, i],
+             hip_pos[i, 0] + traj.step_len[0], hip_pos[i, 0] + traj.step_len[0]]
+        )
+        dax = jnp.stack([0.0, 0.0, hip_vel[i, 0], hip_vel[i, 0]]).astype(dtype)
+        ddax = jnp.stack([0.0, 0.0, hip_acc[i, 0], hip_acc[i, 0]]).astype(dtype)
+        px, vx, axx = bz.varying_bezier(ax, dax, ddax, phase, dt)
+
+        ay = jnp.stack(
+            [traj.toe_init[1, i], traj.toe_init[1, i],
+             hip_pos[i, 1] + traj.step_len[1], hip_pos[i, 1] + traj.step_len[1]]
+        )
+        day = jnp.stack([0.0, 0.0, hip_vel[i, 1], hip_vel[i, 1]]).astype(dtype)
+        dday = jnp.stack([0.0, 0.0, hip_acc[i, 1], hip_acc[i, 1]]).astype(dtype)
+        py, vy, ayy = bz.varying_bezier(ay, day, dday, phase, dt)
+
+        to = traj.toe_offset_z
+        sw = motion.swing_height
+        az = jnp.stack(
+            [traj.toe_init[2, i], traj.toe_init[2, i], sw * jnp.ones_like(to),
+             sw * jnp.ones_like(to), sw * jnp.ones_like(to),
+             to + 0.005, to + 0.005, to]
+        )
+        pz = bz.bezier(az, phase)
+        vz = bz.bezier_d(az, phase) * ds
+        azz = bz.bezier_dd(az, phase) * ds * ds
+        return (jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz]),
+                jnp.stack([axx, ayy, azz]))
+
+    toe_hd, toe_dhd, toe_ddhd = jax.vmap(leg_traj)(jnp.arange(4))
+
+    for i in range(4):
+        rows = slice(6 + 3 * i, 9 + 3 * i)
+        h0_mat = h0_mat.at[rows, :].set(swing[i] * toe_jac[i])
+        dh0 = dh0.at[rows].set(swing[i] * toe_jdqd[i])
+        hd = hd.at[rows].set(swing[i] * toe_hd[i])
+        dhd = dhd.at[rows].set(swing[i] * toe_dhd[i])
+        ddhd = ddhd.at[rows].set(swing[i] * toe_ddhd[i])
+
+    out_mask = jnp.concatenate(
+        [jnp.ones((6,), dtype), jnp.repeat(swing, 3)]
+    )
+    h0 = jnp.zeros((18,), dtype)
+    h0 = h0.at[0:6].set(q[0:6])
+    for i in range(4):
+        h0 = h0.at[6 + 3 * i : 9 + 3 * i].set(swing[i] * toe_pos[i])
+    dh0_vel = h0_mat @ qd
+
+    y = (h0 - hd) * out_mask
+    dy = (dh0_vel - dhd) * out_mask
+    return VcOut(y, dy, h0_mat, dh0 * out_mask, hd, dhd, ddhd, out_mask)
+
+
+def _clf_terms(ll_cfg: LowLevelConfig, y, dy, out_mask, dtype):
+    """CLF from the closed-form Lyapunov solution
+    (`src/LowLevelCtrl.cpp:171-225`)."""
+    kp, kd = ll_cfg.kp, ll_cfg.kd
+    p1 = (kd * kd + kp * kp + kp) / (2.0 * kp * kd)
+    pd = 1.0 / (2.0 * kp)
+    p2 = (kp + 1.0) / (2.0 * kd * kp)
+    cc = 1.0 / (0.5 * (p1 + p2 + np.sqrt(p1 * p1 - 2 * p1 * p2 + p2 * p2 + 4 * pd * pd)))
+    eps = ll_cfg.clf_eps
+    # tuned P: top-left scaled by 1/eps twice, off-diagonals once
+    v = (p1 / eps**2) * (y @ y) + 2.0 * (pd / eps) * (y @ dy) + p2 * (dy @ dy)
+    lf_v = (
+        -2.0 * kp * (pd / eps) * (y @ y)
+        + 2.0 * ((p1 / eps**2) - kp * p2 - kd * (pd / eps)) * (y @ dy)
+        + 2.0 * ((pd / eps) - kd * p2) * (dy @ dy)
+    )
+    lg_v = 2.0 * ((pd / eps) * y + p2 * dy)      # (18,) row over aux slots
+    return v, lf_v, lg_v * out_mask, cc / eps
+
+
+def calc_torque(
+    ll_cfg: LowLevelConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    q,
+    qd,
+    contact_ind,
+    vc: VcOut,
+    f_des,
+    include_coriolis: bool = False,
+):
+    """Solve the LL QP and produce torques (`LowLevelCtrl::calcTorque`).
+
+    f_des: (12,) desired per-leg GRF target (`vc->fDes`; the SRB force
+    distribution of srbx.models.srb can supply it, else zeros).
+    """
+    dtype = q.dtype
+    nq = TOTAL_DOF
+    d_mat = rbd.mass_matrix(model, q)
+    h_bias = rbd.bias_forces(model, q, qd, include_coriolis=include_coriolis)
+    d_inv = jnp.linalg.inv(d_mat)
+    b_mat = jnp.zeros((nq, 12), dtype).at[6:, :].set(jnp.eye(12, dtype=dtype))
+
+    sites_j = rbd.site_jacobians(model, q)
+    toe_jac = sites_j[a1.TOE_SITES]                    # (4, 3, 18)
+    toe_jdqd = rbd.site_jdot_qd(model, q, qd)[a1.TOE_SITES]
+
+    con = contact_ind.astype(dtype)
+    swing = 1.0 - con
+
+    # Jc padded: per-leg rows masked by contact
+    jc = toe_jac * con[:, None, None]                  # (4, 3, 18)
+    jc_flat = jc.reshape(12, nq)
+    djc_qd = (toe_jdqd * con[:, None]).reshape(12)
+
+    kp, kd = ll_cfg.kp, ll_cfg.kd
+    use_clf = 1 if ll_cfg.use_clf else 0
+
+    # ------------------------------- cost --------------------------------- #
+    p_diag = jnp.concatenate(
+        [
+            jnp.full((12,), ll_cfg.df_pen, dtype),
+            jnp.full((12,), ll_cfg.tau_pen, dtype),
+            jnp.full((18,), ll_cfg.aux_pen, dtype),
+            jnp.full((1,), ll_cfg.clf_pen if use_clf else 1.0, dtype),
+        ]
+    )
+    p_mat = jnp.diag(p_diag)
+    c = jnp.zeros((N_DEC,), dtype)
+    c = c.at[0:12].set(-ll_cfg.df_pen * f_des * jnp.repeat(con, 3))
+
+    # ---------------------------- equalities ------------------------------ #
+    a_eq = jnp.zeros((N_EQ, N_DEC), dtype)
+    b_eq = jnp.zeros((N_EQ,), dtype)
+
+    jc_dinv = jc_flat @ d_inv                          # (12, 18)
+    a_eq = a_eq.at[0:12, 0:12].set(jc_dinv @ jc_flat.T)
+    a_eq = a_eq.at[0:12, 12:24].set(jc_dinv @ b_mat)
+    b_eq = b_eq.at[0:12].set(jc_dinv @ h_bias - djc_qd)
+
+    h0_dinv = vc.h0_mat @ d_inv                        # (18, 18)
+    a_eq = a_eq.at[12:30, 0:12].set(h0_dinv @ jc_flat.T)
+    a_eq = a_eq.at[12:30, 12:24].set(h0_dinv @ b_mat)
+    a_eq = a_eq.at[12:30, 24:42].set(jnp.diag(vc.out_mask))
+    b_eq = b_eq.at[12:30].set(
+        (-kp * vc.y - kd * vc.dy + h0_dinv @ h_bias - vc.dh0) * vc.out_mask
+    )
+
+    # --------------------------- inequalities ----------------------------- #
+    g = jnp.zeros((N_INEQ, N_DEC), dtype)
+    h = jnp.ones((N_INEQ,), dtype)
+    mu = ll_cfg.mu
+    gc = jnp.asarray(
+        [
+            [1.0, 0.0, -mu / np.sqrt(2)],
+            [-1.0, 0.0, -mu / np.sqrt(2)],
+            [0.0, 1.0, -mu / np.sqrt(2)],
+            [0.0, -1.0, -mu / np.sqrt(2)],
+            [0.0, 0.0, -1.0],
+        ],
+        dtype,
+    )
+    for i in range(4):
+        rows = slice(5 * i, 5 * i + 5)
+        g = g.at[rows, 3 * i : 3 * i + 3].set(con[i] * gc)
+        h = h.at[rows].set(jnp.where(con[i] > 0, 0.0, 1.0))
+    sat = jnp.tile(jnp.asarray(ll_cfg.sat, dtype), 4)
+    g = g.at[20:32, 12:24].set(jnp.eye(12, dtype=dtype))
+    g = g.at[32:44, 12:24].set(-jnp.eye(12, dtype=dtype))
+    h = h.at[20:44].set(jnp.concatenate([sat, sat]))
+
+    if use_clf:
+        v, lf_v, lg_v, c_eps = _clf_terms(ll_cfg, vc.y, vc.dy, vc.out_mask, dtype)
+        g = g.at[44, 24:42].set(lg_v)
+        g = g.at[44, 42].set(-1.0)
+        h = h.at[44].set(-lf_v - c_eps * v)
+    else:
+        v = jnp.zeros((), dtype)
+        lf_v = jnp.zeros((), dtype)
+        lg_v = jnp.zeros((18,), dtype)
+        c_eps = jnp.zeros((), dtype)
+
+    sol = qp.solve(p_mat, c, a_eq, b_eq, g, h, qp_cfg)
+    f_qp = sol.x[0:12] * jnp.repeat(con, 3)
+    tau = sol.x[12:24]
+
+    dv = lf_v + c_eps * v + lg_v @ sol.x[24:42] if use_clf else jnp.zeros((), dtype)
+
+    # ------------------------- swing leg PD add-on ------------------------ #
+    # (`src/LowLevelCtrl.cpp:73-93`): tau += Jsᵀ (Kp p_err + Kd v_err) with
+    # Kp from the inverse operational-space inertia.
+    js = toe_jac * swing[:, None, None]
+    js_flat = js.reshape(12, nq)
+    delta_inv = js_flat @ d_inv @ js_flat.T + jnp.diag(
+        jnp.repeat(con, 3)
+    )  # masked rows get identity to stay invertible
+    delta = jnp.linalg.inv(delta_inv)
+    wd, kd_sw = 40.0, 40.0
+    toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
+    p_err = jnp.zeros((12,), dtype)
+    v_err = jnp.zeros((12,), dtype)
+    for i in range(4):
+        rows = slice(6 + 3 * i, 9 + 3 * i)
+        sl = slice(3 * i, 3 * i + 3)
+        p_err = p_err.at[sl].set(swing[i] * (vc.hd[rows] - toe_pos[i]))
+        v_err = v_err.at[sl].set(
+            swing[i] * (vc.dhd[rows] - toe_jac[i] @ qd)
+        )
+    kp_sw = wd * wd * jnp.diag(jnp.diagonal(delta))
+    tau_full = jnp.zeros((nq,), dtype).at[6:].set(tau)
+    tau_full = tau_full + js_flat.T @ (kp_sw @ p_err + kd_sw * v_err)
+
+    # --------------------- joint command integration ---------------------- #
+    ddq = d_inv @ (
+        b_mat @ tau_full[6:] + jc_flat.T @ (sol.x[0:12] * jnp.repeat(con, 3)) - h_bias
+    )
+    hz = float(ll_cfg.ctrl_hz)
+    dq_next = qd + ddq / hz
+    q_next = q + dq_next / hz + 0.5 / (hz * hz) * ddq
+
+    return LLOut(
+        tau=tau_full[6:],
+        grf=f_qp,
+        y=vc.y,
+        dy=vc.dy,
+        ddq=ddq,
+        q_next=q_next,
+        dq_next=dq_next,
+        v_lyap=v,
+        dv_lyap=dv,
+        qp_converged=sol.converged,
+    )

@@ -1,0 +1,145 @@
+"""Full-fidelity closed loop: stand-up + event-based trot under the NMPC.
+
+The fixed-cadence structure of the reference sim (SURVEY.md §2.3): an outer
+scan over gait domains (one NMPC replan each, the 172 ms event cycle) with
+an inner scan over the domain's 1 kHz LL+physics ticks — the batched
+equivalent of `src/A1_Sim.cpp:1193-1217`'s while loop. Contact-triggered
+early replans reduce to the time trigger in nominal trot
+(`src/LocoWrapper.cpp:165-200`); the stale-Bezier fallback still engages
+whenever the MPC of a domain is marked unavailable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srbx import agent as agent_mod
+from srbx import mpc as mpc_mod
+from srbx.config import (Gait, LowLevelConfig, MotionConfig, MpcConfig, QpConfig)
+from srbx.models import a1, rbd
+from srbx.sim import wholebody as wb
+
+
+class LoopConfig(NamedTuple):
+    stand_ticks: int = 1000
+    n_domains: int = 40
+    ticks_per_domain: int = 172   # 4 grids x 43 ms
+    # Ticks until the domain's NMPC solution "arrives" (the reference's HL
+    # thread latency); until then the LL runs on the stale-Bezier fallback.
+    mpc_latency_ticks: int = 0
+
+
+class LoopResult(NamedTuple):
+    sim: wb.SimState
+    agent: agent_mod.AgentState
+    com_hist: jax.Array       # (n_domains, ticks, 3)
+    qp_ok: jax.Array          # () fraction of converged LL QPs
+    mpc_ok: jax.Array         # () fraction of converged MPC cycles
+    tau_hist: jax.Array       # (n_domains, 2) max |tau| per domain, V
+
+
+def run(
+    mpc_cfg: MpcConfig,
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    sim_cfg: wb.SimConfig,
+    loop: LoopConfig,
+    model: rbd.Model,
+    pr_agent,
+    prd_agent,
+    agent_initial,
+    pobs_real,
+    q0=None,
+    dtype=jnp.float64,
+):
+    """Single-agent full-fidelity run. vmap over scenarios/agents upstream."""
+    if q0 is None:
+        q0 = wb.default_crouch(model, dtype)
+        q0 = q0.at[0:2].add(agent_initial)
+    sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+    ast = agent_mod.init(motion_cfg, model, q0, dtype)
+    mcarry = mpc_mod.init_carry(agent_initial, dtype)
+
+    # ------------------------- stand-up phase ------------------------- #
+    stand_from = q0[0:3]
+    ast = ast._replace(planner=ast.planner._replace(
+        stand_from=stand_from,
+        dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype),
+    ))
+
+    def stand_tick(carry, _):
+        sim, ast = carry
+        force = wb.foot_force_measurement(sim_cfg, model, sim)
+        ll_out, ast, _ = agent_mod.tick(
+            ll_cfg, motion_cfg, qp_cfg, model, Gait.STAND, ast,
+            sim.q, sim.qd, force,
+        )
+        sim = wb.step(sim_cfg, model, sim, ll_out.tau)
+        return (sim, ast), None
+
+    (sim, ast), _ = jax.lax.scan(
+        stand_tick, (sim, ast), None, length=loop.stand_ticks
+    )
+
+    # --------------------- trot domains with NMPC ---------------------- #
+    def domain_step(carry, dom_idx):
+        sim, ast, mcarry, ok_cnt = carry
+
+        # HL replan at the domain boundary (event-triggered in the
+        # reference; here the trigger IS the domain boundary). The COP must
+        # be confined to the *upcoming* domain's stance diagonal — the
+        # reference calls run_NMPC after setDesDomain has switched the
+        # contact index (`src/A1_Sim.cpp:227-234`).
+        from srbx import motion as motion_mod
+
+        toe_xy = rbd.site_positions(model, sim.q)[a1.TOE_SITES][:, 0:2].T
+        contact_ind = motion_mod.next_trot_domain(ast.con.des).astype(dtype)
+        out = mpc_mod.run_nmpc(
+            mpc_cfg, qp_cfg, mcarry, sim.q[0:2], sim.qd[0:2], toe_xy,
+            contact_ind, pr_agent, prd_agent, agent_initial, pobs_real,
+        )
+        ast2 = agent_mod.set_mpc_data(ast, out.alpha_com, out.states)
+
+        def ll_tick(carry, k):
+            sim, ast = carry
+            force = wb.foot_force_measurement(sim_cfg, model, sim)
+            ll_out, ast, _ = agent_mod.tick(
+                ll_cfg, motion_cfg, qp_cfg, model, Gait.TROT, ast,
+                sim.q, sim.qd, force,
+                force_new_domain=(k == 0),
+                allow_contact_trigger=False,
+            )
+            # the domain's fresh MPC data becomes visible after the modeled
+            # HL latency (tick 0 clears availability; stale fallback covers).
+            ast = ast._replace(
+                mpc_available=jnp.logical_or(
+                    ast.mpc_available, k >= loop.mpc_latency_ticks
+                )
+            )
+            sim = wb.step(sim_cfg, model, sim, ll_out.tau)
+            return (sim, ast), (sim.q[0:3], ll_out.qp_converged,
+                                jnp.abs(ll_out.tau).max())
+
+        (sim, ast3), (com, llok, taumax) = jax.lax.scan(
+            ll_tick, (sim, ast2), jnp.arange(loop.ticks_per_domain)
+        )
+        ok_cnt = ok_cnt + out.qp_converged.astype(jnp.int32)
+        stats = jnp.stack([jnp.max(taumax), jnp.mean(llok.astype(dtype))])
+        return (sim, ast3, out.carry, ok_cnt), (com, stats)
+
+    init_carry = (sim, ast, mcarry, jnp.zeros((), jnp.int32))
+    (sim, ast, mcarry, ok_cnt), (com_hist, stats) = jax.lax.scan(
+        domain_step, init_carry, jnp.arange(loop.n_domains)
+    )
+    return LoopResult(
+        sim=sim,
+        agent=ast,
+        com_hist=com_hist,
+        qp_ok=jnp.mean(stats[:, 1]),
+        mpc_ok=ok_cnt.astype(dtype) / loop.n_domains,
+        tau_hist=stats,
+    )

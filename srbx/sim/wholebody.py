@@ -1,0 +1,96 @@
+"""Batched whole-body physics: the TPU-native replacement for RaiSim.
+
+The reference integrates contact dynamics at 1 kHz through RaiSim
+(`src/A1_Sim.cpp:825-857,1214`). Here the plant is the same 18-DoF model the
+controller uses (srbx.models.rbd), with a compliant ground contact at the
+toe sites:
+
+  * normal: spring-damper  fz = kn·pen − dn·vz   (clamped ≥ 0, active only
+    while penetrating) — the standard soft-contact model;
+  * tangential: viscous opposition clamped to the Coulomb cone μ·fz
+    (regularized friction).
+
+Integration is semi-implicit Euler with `substeps` internal steps per 1 ms
+control tick. Everything vmaps over scenario batches and jits into the
+closed-loop scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srbx.models import a1, rbd
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    dt: float = 1e-3            # control tick (reference simfreq 0.001)
+    substeps: int = 4
+    kn: float = 4e4             # ground normal stiffness
+    dn: float = 400.0           # ground normal damping
+    kt: float = 600.0           # tangential viscous coefficient
+    mu: float = 0.6             # ground friction
+
+
+class SimState(NamedTuple):
+    q: jax.Array     # (18,)
+    qd: jax.Array    # (18,)
+
+
+def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd):
+    """(4, 3) world ground-reaction forces at the toe sites."""
+    toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
+    toe_jac = rbd.site_jacobians(model, q)[a1.TOE_SITES]
+    toe_vel = jnp.einsum("lin,n->li", toe_jac, qd)
+
+    pen = -toe_pos[:, 2]
+    active = pen > 0.0
+    fz = jnp.where(active, cfg.kn * pen - cfg.dn * toe_vel[:, 2], 0.0)
+    fz = jnp.maximum(fz, 0.0)
+
+    ft_raw = -cfg.kt * toe_vel[:, 0:2] * active[:, None]
+    ft_norm = jnp.linalg.norm(ft_raw, axis=1, keepdims=True)
+    limit = cfg.mu * fz[:, None]
+    scale = jnp.where(ft_norm > limit, limit / jnp.maximum(ft_norm, 1e-9), 1.0)
+    ft = ft_raw * scale
+    return jnp.concatenate([ft, fz[:, None]], axis=1)
+
+
+def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints):
+    """One 1 ms tick under joint torques tau_joints (12,)."""
+    dt = cfg.dt / cfg.substeps
+    tau_full = jnp.zeros((model.nq,), state.q.dtype).at[6:].set(tau_joints)
+
+    def sub(carry, _):
+        q, qd = carry
+        grf = contact_forces(cfg, model, q, qd)
+        f_sites = jnp.zeros((len(model.sites), 3), q.dtype).at[0:4].set(grf)
+        qdd = rbd.forward_dynamics(model, q, qd, tau_full, f_ext_sites=f_sites)
+        qd2 = qd + dt * qdd
+        q2 = q + dt * qd2
+        return (q2, qd2), None
+
+    (q, qd), _ = jax.lax.scan(sub, (state.q, state.qd), None, length=cfg.substeps)
+    return SimState(q, qd)
+
+
+def foot_force_measurement(cfg: SimConfig, model: rbd.Model, state: SimState):
+    """(4,) scalar 'foot force sensor' readings (normal force), the analogue
+    of the RaiSim contact impulses the reference thresholds at 8000
+    (`src/A1_Sim.cpp:156-161`). Scale: Newtons; use a ~30 N threshold."""
+    return contact_forces(cfg, model, state.q, state.qd)[:, 2]
+
+
+def default_crouch(model: rbd.Model, dtype=jnp.float64):
+    """Initial crouched configuration (legs folded, toes on the ground)
+    similar to the sim's settled start posture."""
+    q = jnp.zeros((18,), dtype)
+    for i in range(4):
+        q = q.at[6 + 3 * i + 1].set(1.1)    # thigh
+        q = q.at[6 + 3 * i + 2].set(-2.3)   # calf
+    toe_z = rbd.site_positions(model, q)[a1.TOE_SITES][:, 2].min()
+    return q.at[2].set(-toe_z + 0.001)

@@ -1,0 +1,114 @@
+"""Whole-body integration tests: LL QP, stand-up, and the full-fidelity
+NMPC trot closed loop (config 1 of BASELINE.json at whole-body fidelity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srbx import lowlevel, motion, refplan
+from srbx.config import Gait, LowLevelConfig, MotionConfig, MpcConfig, QpConfig
+from srbx.models import a1, rbd
+from srbx.sim import closedloop
+from srbx.sim import wholebody as wb
+
+M = a1.model()
+LL = LowLevelConfig()
+MO = MotionConfig()
+QP = QpConfig()
+SIM = wb.SimConfig()
+
+
+def test_ll_qp_static_stance_supports_weight():
+    """All-stance LL QP at rest: vertical GRFs must sum to the robot weight
+    and every QP must converge."""
+    q = wb.default_crouch(M)
+    q = q.at[2].add(0.0)
+    qd = jnp.zeros(18)
+    ci = jnp.ones(4)
+    com_des = jnp.zeros(12).at[0:3].set(q[0:3])
+    traj = lowlevel.TrajIn(com_des, rbd.site_positions(M, q)[a1.TOE_SITES].T,
+                           jnp.zeros(3), jnp.asarray(1000.0), jnp.asarray(0.01))
+    sites = rbd.site_positions(M, q)
+    sj = rbd.site_jacobians(M, q)
+    jd = rbd.site_jdot_qd(M, q, qd)
+    vc = lowlevel.virtual_constraints(
+        LL, MO, q, qd, ci, 0.0, traj, jnp.zeros(18),
+        sites[a1.TOE_SITES], sj[a1.TOE_SITES], jd[a1.TOE_SITES],
+        sites[a1.HIP_SITES], sj[a1.HIP_SITES], jd[a1.HIP_SITES])
+    out = lowlevel.calc_torque(LL, QP, M, q, qd, ci, vc, jnp.zeros(12))
+    assert bool(out.qp_converged)
+    fz = np.asarray(out.grf).reshape(4, 3)[:, 2]
+    assert fz.min() > 0
+    np.testing.assert_allclose(fz.sum(), 12.453 * 9.81, rtol=0.05)
+
+
+def test_stand_up_reaches_height():
+    """Crouch -> stand under the STAND gait reaches the configured height."""
+    from srbx import agent as agent_mod
+
+    q0 = wb.default_crouch(M)
+    sim = wb.SimState(q0, jnp.zeros(18))
+    ast = agent_mod.init(MO, M, q0)
+    ast = ast._replace(planner=ast.planner._replace(
+        stand_from=q0[0:3], dom_ticks=jnp.asarray(800.0)))
+
+    @jax.jit
+    def tick(carry, _):
+        sim, ast = carry
+        force = wb.foot_force_measurement(SIM, M, sim)
+        ll_out, ast, _ = agent_mod.tick(LL, MO, QP, M, Gait.STAND, ast,
+                                        sim.q, sim.qd, force)
+        sim = wb.step(SIM, M, sim, ll_out.tau)
+        return (sim, ast), ll_out.qp_converged
+
+    (sim, ast), conv = jax.lax.scan(tick, (sim, ast), None, length=1000)
+    assert float(jnp.mean(conv.astype(jnp.float64))) > 0.99
+    assert abs(float(sim.q[2]) - MO.stand_height) < 0.01
+    assert np.abs(np.asarray(sim.q[3:6])).max() < 0.02
+
+
+@pytest.mark.slow
+def test_full_fidelity_trot_tracks_reference():
+    """Stand-up + 10 NMPC trot domains through whole-body physics: forward
+    progress tracking the APF reference, level posture, bounded torques."""
+    traj = refplan.generate(
+        refplan.two_agent_config(loop_size=20_000),
+        jnp.asarray([0.0, 0.0, 0.0, -1.0]),
+        jnp.asarray([[100.0] * 20, [100.0] * 20]),
+    )
+    res = jax.jit(lambda: closedloop.run(
+        MpcConfig(use_sqp=False), LL, MO, QP, SIM,
+        closedloop.LoopConfig(stand_ticks=800, n_domains=10), M,
+        traj.pr[0:2], traj.prd[0:2],
+        jnp.asarray([0.0, 0.0]), jnp.asarray([[100.0] * 20, [100.0] * 20]),
+    ))()
+    q = np.asarray(res.sim.q)
+    ref_x = float(traj.pr[0, 40])
+    assert q[0] > 0.15, f"no forward progress: x={q[0]}"
+    assert abs(q[0] - ref_x) < 0.15, f"x tracking off: {q[0]} vs ref {ref_x}"
+    assert abs(q[1]) < 0.1, f"lateral drift: y={q[1]}"
+    assert abs(q[2] - MO.stand_height) < 0.02
+    assert np.abs(q[3:6]).max() < 0.1
+    assert float(res.qp_ok) > 0.98
+    assert float(res.mpc_ok) == 1.0
+    tau_max = float(res.tau_hist[:, 0].max())
+    assert tau_max <= 50.0 + 1e-6
+
+
+def test_contact_estimator_debounce_and_latch():
+    from srbx.estimation import contact
+
+    st = contact.init()
+    st = contact.set_des_domain(st, jnp.asarray([0, 1, 1, 0]))
+    assert int(st.cnt) == 2
+    # leg 0 airborne then touches down before phase gate: no latch
+    for _ in range(12):
+        st = contact.update(st, jnp.asarray([0.0, 100.0, 100.0, 0.0]), 0.3, 30.0)
+    assert not bool(st.change_domain)
+    assert int(st.ind[0]) == 0
+    # touchdown after phase 0.7 on both swing legs -> latch + domain change
+    for _ in range(12):
+        st = contact.update(st, jnp.asarray([100.0] * 4), 0.8, 30.0)
+    assert bool(st.change_domain)
+    assert int(st.cnt) == 4
