@@ -1,0 +1,81 @@
+"""Native runtime tests: build the C++ library, drive loops/store/UDP."""
+
+import struct
+import threading
+import time
+
+import pytest
+
+from srbx import runtime
+
+
+@pytest.fixture(scope="module")
+def lib():
+    return runtime.load()
+
+
+def test_rate_loop_holds_period(lib):
+    hits = []
+    loop = runtime.RateLoop(lib, period_us=2000, callback=lambda t: hits.append(t))
+    loop.start()
+    time.sleep(0.25)
+    loop.stop()
+    n = loop.ticks
+    # 0.25 s at 2 ms -> ~125 ticks; allow generous scheduling slack
+    assert 90 <= n <= 160, f"tick count {n}"
+    assert hits[:5] == [0, 1, 2, 3, 4]
+    assert loop.latency_ns(50.0) < 2_000_000
+    loop.close()
+
+
+def test_shared_store_roundtrip_and_version(lib):
+    store = runtime.SharedStore(lib, n_slots=4, slot_bytes=64)
+    payload = struct.pack("4d", 1.0, -2.0, 3.5, 0.25)
+    v0 = store.version(1)
+    store.write(1, payload)
+    assert store.read(1)[: len(payload)] == payload
+    assert store.version(1) == v0 + 1
+    store.write(1, struct.pack("4d", 9.0, 9.0, 9.0, 9.0))
+    assert struct.unpack("4d", store.read(1)[:32]) == (9.0, 9.0, 9.0, 9.0)
+    store.close()
+
+
+def test_shared_store_concurrent_reader_never_tears(lib):
+    """Writer spins values (k, k); reader must never observe a torn pair."""
+    store = runtime.SharedStore(lib, n_slots=1, slot_bytes=16)
+    stop = threading.Event()
+    torn = []
+
+    def writer():
+        k = 0
+        while not stop.is_set():
+            store.write(0, struct.pack("2d", float(k), float(k)))
+            k += 1
+
+    def reader():
+        while not stop.is_set():
+            a, b = struct.unpack("2d", store.read(0))
+            if a != b:
+                torn.append((a, b))
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    time.sleep(0.5)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not torn, f"torn reads: {torn[:3]}"
+    store.close()
+
+
+def test_udp_loopback_neighbor_state(lib):
+    """The neighbor 4-state exchange over localhost UDP (the multi-PC path)."""
+    rx = runtime.Udp(lib, bind_port=47431)
+    tx = runtime.Udp(lib)
+    state = struct.pack("4d", 0.1, 0.2, 0.3, 0.4)  # (x, y, dx, dy)
+    tx.send("127.0.0.1", 47431, state)
+    got = rx.recv(64, timeout_ms=500)
+    assert struct.unpack("4d", got) == (0.1, 0.2, 0.3, 0.4)
+    rx.close()
+    tx.close()
