@@ -1,0 +1,185 @@
+"""Batch-native IPM: the TPU hot path for thousands of tiny QPs.
+
+Same Mehrotra predictor-corrector as srbx.ops.qp, but written directly over
+a leading batch axis instead of vmap:
+
+  * dense products (GᵀWG, A M⁻¹Aᵀ, residuals) stay batch-leading — XLA lowers
+    them to batched matmuls;
+  * the sequential factorizations/substitutions run through the lanes-last
+    kernels of srbx.ops.batch_linalg (batch in the 128-wide lane axis,
+    matrix loops unrolled) — the layout XLA's generic batched Cholesky does
+    not pick for tiny matrices;
+  * fixed iteration structure with per-lane freeze masks; one global
+    all-converged early exit.
+
+Semantics (tolerances, padding conventions, NaN freezing) match srbx.ops.qp;
+equality of results is test-enforced.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srbx.config import QpConfig
+from srbx.ops import batch_linalg as bl
+
+
+class BatchSolution(NamedTuple):
+    x: jax.Array          # (B, n)
+    y: jax.Array          # (B, me)
+    z: jax.Array          # (B, mi)
+    s: jax.Array          # (B, mi)
+    iters: jax.Array      # () iterations executed
+    converged: jax.Array  # (B,)
+    res: jax.Array        # (B,)
+    gap: jax.Array        # (B,)
+
+
+def _chol(m):
+    """(B, k, k) SPD -> lower factor via lanes-last kernel."""
+    lt = bl.cholesky_lanes(jnp.moveaxis(m, 0, -1))
+    return lt                                    # (k, k, B)
+
+
+def _cho_solve(lt, rhs):
+    """lt: (k, k, B); rhs: (B, k, r) or (B, k). Returns same layout as rhs."""
+    vec = rhs.ndim == 2
+    r = rhs[..., None] if vec else rhs
+    out = bl.cho_solve_lanes(lt, jnp.moveaxis(r, 0, -1))
+    out = jnp.moveaxis(out, -1, 0)
+    return out[..., 0] if vec else out
+
+
+def _factor(P, A, G, w, delta_p, delta_d):
+    n = P.shape[-1]
+    me = A.shape[-2]
+    gw = G * w[..., None]                         # (B, mi, n)
+    m_mat = P + jnp.einsum("bin,bim->bnm", gw, G)
+    m_mat = m_mat + delta_p * jnp.eye(n, dtype=P.dtype)
+    l_m = _chol(m_mat)
+    minv_at = _cho_solve(l_m, jnp.swapaxes(A, -1, -2))   # (B, n, me)
+    s_mat = A @ minv_at + delta_d * jnp.eye(me, dtype=P.dtype)
+    l_s = _chol(s_mat)
+    return l_m, l_s, minv_at
+
+
+def _solve_kkt(l_m, l_s, minv_at, A, r1, r2):
+    t = _cho_solve(l_m, r1)
+    dy = _cho_solve(l_s, jnp.einsum("bmn,bn->bm", A, t) - r2)
+    dx = t - jnp.einsum("bnm,bm->bn", minv_at, dy)
+    return dx, dy
+
+
+def _step_len(v, dv):
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
+
+
+def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig()):
+    """All operands batch-leading: (B, ...)."""
+    dtype = P.dtype
+    bsz, n = c.shape
+    me = A.shape[-2]
+    mi = G.shape[-2]
+
+    ones_w = jnp.ones((bsz, mi), dtype)
+    l_m, l_s, minv_at = _factor(P, A, G, ones_w, 1.0, cfg.reg_dual)
+    x, y = _solve_kkt(l_m, l_s, minv_at, A,
+                      -c + jnp.einsum("bmn,bm->bn", G, h), b)
+    s_t = h - jnp.einsum("bmn,bn->bm", G, x)
+    shift = jnp.maximum(0.0, -1.5 * jnp.min(s_t, axis=-1, keepdims=True)) + 1.0
+    s = s_t + shift
+    z = jnp.ones((bsz, mi), dtype)
+
+    norm_data = jnp.maximum(
+        jnp.maximum(jnp.abs(c).max(-1), jnp.abs(b).max(-1) if me else 0.0),
+        jnp.maximum(jnp.abs(h).max(-1), 1.0),
+    )                                                   # (B,)
+
+    def residuals(x, y, s, z):
+        rx = jnp.einsum("bnm,bm->bn", P, x) + c \
+            + jnp.einsum("bmn,bm->bn", A, y) + jnp.einsum("bmn,bm->bn", G, z)
+        ry = jnp.einsum("bmn,bn->bm", A, x) - b
+        rz = jnp.einsum("bmn,bn->bm", G, x) + s - h
+        return rx, ry, rz
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(done.all()))
+
+    def body(carry):
+        x, y, s, z, it, done = carry
+        rx, ry, rz = residuals(x, y, s, z)
+        mu = jnp.sum(s * z, axis=-1) / mi
+
+        w = z / s
+        l_m, l_s, minv_at = _factor(P, A, G, w, cfg.reg_primal, cfg.reg_dual)
+
+        r_c = -s * z
+        r1 = -rx - jnp.einsum("bmn,bm->bn", G, r_c / s + w * rz)
+        dx_a, dy_a = _solve_kkt(l_m, l_s, minv_at, A, r1, -ry)
+        ds_a = -rz - jnp.einsum("bmn,bn->bm", G, dx_a)
+        dz_a = (r_c - z * ds_a) / s
+
+        ap_a = _step_len(s, ds_a)
+        ad_a = _step_len(z, dz_a)
+        mu_aff = jnp.sum(
+            (s + ap_a[:, None] * ds_a) * (z + ad_a[:, None] * dz_a), -1
+        ) / mi
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, cfg.sigma_min)) ** 3, 0.0, 1.0)
+
+        r_c2 = sigma[:, None] * mu[:, None] - s * z - ds_a * dz_a
+        r1c = -rx - jnp.einsum("bmn,bm->bn", G, r_c2 / s + w * rz)
+        dx, dy = _solve_kkt(l_m, l_s, minv_at, A, r1c, -ry)
+        ds = -rz - jnp.einsum("bmn,bn->bm", G, dx)
+        dz = (r_c2 - z * ds) / s
+
+        ap = (cfg.step_frac * _step_len(s, ds))[:, None]
+        ad = (cfg.step_frac * _step_len(z, dz))[:, None]
+
+        x_n = x + ap * dx
+        s_n = s + ap * ds
+        y_n = y + ad * dy
+        z_n = z + ad * dz
+
+        finite = (
+            jnp.isfinite(x_n).all(-1)
+            & jnp.isfinite(s_n).all(-1)
+            & jnp.isfinite(z_n).all(-1)
+        )
+        keep = jnp.logical_and(finite, jnp.logical_not(done))[:, None]
+        x_n = jnp.where(keep, x_n, x)
+        y_n = jnp.where(keep, y_n, y)
+        s_n = jnp.where(keep, s_n, s)
+        z_n = jnp.where(keep, z_n, z)
+
+        rx_n, ry_n, rz_n = residuals(x_n, y_n, s_n, z_n)
+        mu_n = jnp.sum(s_n * z_n, -1) / mi
+        res = jnp.maximum(
+            jnp.maximum(jnp.abs(rx_n).max(-1), jnp.abs(ry_n).max(-1) if me else 0.0),
+            jnp.abs(rz_n).max(-1),
+        )
+        conv = jnp.logical_and(
+            res <= cfg.abstol + cfg.reltol * norm_data, mu_n <= cfg.abstol
+        )
+        done_n = done | conv | jnp.logical_not(finite)
+        return x_n, y_n, s_n, z_n, it + 1, done_n
+
+    done0 = jnp.zeros((bsz,), bool)
+    x, y, s, z, iters, done = jax.lax.while_loop(
+        cond, body, (x, y, s, z, jnp.zeros((), jnp.int32), done0)
+    )
+
+    rx, ry, rz = residuals(x, y, s, z)
+    res = jnp.maximum(
+        jnp.maximum(jnp.abs(rx).max(-1), jnp.abs(ry).max(-1) if me else 0.0),
+        jnp.abs(rz).max(-1),
+    )
+    gap = jnp.sum(s * z, -1) / mi
+    converged = jnp.logical_and(
+        res <= cfg.abstol + cfg.reltol * norm_data, gap <= cfg.abstol
+    )
+    return BatchSolution(x, y, z, s, iters, converged, res, gap)

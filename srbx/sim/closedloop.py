@@ -143,3 +143,105 @@ def run(
         mpc_ok=ok_cnt.astype(dtype) / loop.n_domains,
         tau_hist=stats,
     )
+
+
+def run_team(
+    mpc_cfg: MpcConfig,
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    sim_cfg: wb.SimConfig,
+    loop: LoopConfig,
+    model: rbd.Model,
+    pr,
+    prd,
+    agent_initials,
+    pobs_real,
+    dtype=jnp.float64,
+):
+    """Multi-agent full-fidelity loop: the whole-body analogue of the
+    reference's 2-/4-agent sims (`src/A1_Sim.cpp`, `src/A1_Sim_4_agents.cpp`).
+
+    Agents run as a vmapped axis; at each domain boundary every agent's NMPC
+    receives its neighbor's broadcast 4-state (x, y, dx, dy) — the
+    distributed coupling of the paper — and adds it as a CBF circle.
+
+    pr, prd: (A, 2, T) per-agent reference tables;
+    agent_initials: (A, 2) start positions.
+    """
+    from srbx import motion as motion_mod
+
+    n_agents = agent_initials.shape[0]
+
+    def init_one(a0):
+        q0 = wb.default_crouch(model, dtype)
+        q0 = q0.at[0:2].add(a0)
+        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+        ast = agent_mod.init(motion_cfg, model, q0, dtype)
+        ast = ast._replace(planner=ast.planner._replace(
+            stand_from=q0[0:3],
+            dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype)))
+        return sim, ast, mpc_mod.init_carry(a0, dtype)
+
+    sims, asts, mcarries = jax.vmap(init_one)(agent_initials)
+
+    def stand_tick(carry, _):
+        sims, asts = carry
+
+        def one(sim, ast):
+            force = wb.foot_force_measurement(sim_cfg, model, sim)
+            ll_out, ast, _ = agent_mod.tick(
+                ll_cfg, motion_cfg, qp_cfg, model, Gait.STAND, ast,
+                sim.q, sim.qd, force)
+            return wb.step(sim_cfg, model, sim, ll_out.tau), ast
+
+        sims, asts = jax.vmap(one)(sims, asts)
+        return (sims, asts), None
+
+    (sims, asts), _ = jax.lax.scan(
+        stand_tick, (sims, asts), None, length=loop.stand_ticks)
+
+    def domain_step(carry, dom_idx):
+        sims, asts, mcarries = carry
+        # neighbor broadcast: each agent sees the next agent's 4-state
+        states4 = jnp.concatenate([sims.q[:, 0:2], sims.qd[:, 0:2]], axis=1)
+        others = jnp.roll(states4, shift=-1, axis=0)
+
+        def replan(sim, ast, mcarry, other, a0, pr_a, prd_a):
+            toe_xy = rbd.site_positions(model, sim.q)[a1.TOE_SITES][:, 0:2].T
+            ci = motion_mod.next_trot_domain(ast.con.des).astype(dtype)
+            out = mpc_mod.run_nmpc(
+                mpc_cfg, qp_cfg, mcarry, sim.q[0:2], sim.qd[0:2], toe_xy,
+                ci, pr_a, prd_a, a0, pobs_real,
+                state_other=other, agent_circle_eps=mpc_cfg.cbf_eps,
+            )
+            return out
+
+        outs = jax.vmap(replan)(sims, asts, mcarries, others,
+                                agent_initials, pr, prd)
+        asts = jax.vmap(agent_mod.set_mpc_data)(asts, outs.alpha_com, outs.states)
+
+        def ll_tick(carry, k):
+            sims, asts = carry
+
+            def one(sim, ast):
+                force = wb.foot_force_measurement(sim_cfg, model, sim)
+                ll_out, ast, _ = agent_mod.tick(
+                    ll_cfg, motion_cfg, qp_cfg, model, Gait.TROT, ast,
+                    sim.q, sim.qd, force,
+                    force_new_domain=(k == 0), allow_contact_trigger=False)
+                ast = ast._replace(mpc_available=jnp.logical_or(
+                    ast.mpc_available, k >= loop.mpc_latency_ticks))
+                return wb.step(sim_cfg, model, sim, ll_out.tau), ast, ll_out.qp_converged
+
+            sims, asts, ok = jax.vmap(one)(sims, asts)
+            return (sims, asts), (sims.q[:, 0:3], ok)
+
+        (sims, asts), (com, ok) = jax.lax.scan(
+            ll_tick, (sims, asts), jnp.arange(loop.ticks_per_domain))
+        return (sims, asts, outs.carry), (com[-1], outs.cbf_margin,
+                                          jnp.mean(ok.astype(dtype)))
+
+    (sims, asts, mcarries), (com_ends, margins, llok) = jax.lax.scan(
+        domain_step, (sims, asts, mcarries), jnp.arange(loop.n_domains))
+    return sims, com_ends, margins, llok

@@ -60,10 +60,18 @@ def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd):
     return jnp.concatenate([ft, fz[:, None]], axis=1)
 
 
-def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints):
-    """One 1 ms tick under joint torques tau_joints (12,)."""
+def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints,
+         base_force=None):
+    """One 1 ms tick under joint torques tau_joints (12,).
+
+    base_force: optional (3,) world force on the trunk — the fault-injection
+    analogue of the reference's external disturbance generator
+    (`src/A1_Sim.cpp:84-107`).
+    """
     dt = cfg.dt / cfg.substeps
     tau_full = jnp.zeros((model.nq,), state.q.dtype).at[6:].set(tau_joints)
+    if base_force is not None:
+        tau_full = tau_full.at[0:3].add(base_force)
 
     def sub(carry, _):
         q, qd = carry
