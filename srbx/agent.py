@@ -81,7 +81,11 @@ def tick(
     qd,
     foot_force,
     force_new_domain=None,
-    force_thresh: float = 30.0,
+    # Touchdown threshold: a lightly-resting swing foot at the -1 cm aim
+    # point carries ~25-30 N against the compliant ground, stance legs
+    # ~60-100 N; 15 N separates touchdown from free swing with margin on
+    # both sides (the reference's 8000 is in RaiSim impulse units).
+    force_thresh: float = 15.0,
     f_des=None,
     allow_contact_trigger: bool = True,
 ):
@@ -165,7 +169,7 @@ def tick(
         step_len=planner.step_len,
         dom_ticks=planner.dom_ticks if gait == Gait.STAND
         else jnp.asarray(dom_ticks_gait, dtype),
-        toe_offset_z=jnp.asarray(0.01, dtype),
+        toe_offset_z=jnp.asarray(motion_cfg.toe_offset_z, dtype),
     )
     vc = lowlevel.virtual_constraints(
         ll_cfg, motion_cfg, q, qd, ci, phase, traj, state.prev_ddq,

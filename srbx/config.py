@@ -184,6 +184,13 @@ class MotionConfig:
     ts_opt_tick: int = 43
     grids_per_domain: int = 4
     max_phase: float = 1.05   # stale-solution clamp (`src/LocoWrapper.cpp:45`)
+    # Swing-foot touchdown aim point. The reference targets toeOffset=0.01 m
+    # ABOVE ground but, in sim mode, shifts the estimated base height by
+    # Z_TOE_OFFSET=0.02 (`include/global_loco_opts.h:58-62`), so the real aim
+    # is 1 cm BELOW ground — this guarantees touchdown (and hence the
+    # contact-triggered domain switch) before the swing phase ends. We apply
+    # the net offset directly.
+    toe_offset_z: float = -0.01
 
     @property
     def trot_dom_ticks(self) -> int:

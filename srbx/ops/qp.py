@@ -188,13 +188,17 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
         z_n = jnp.where(finite, z_n, z)
 
         rx_n, ry_n, rz_n = residuals(x_n, y_n, s_n, z_n)
-        mu_n = (s_n @ z_n) / mi
         res = jnp.maximum(
             jnp.maximum(jnp.abs(rx_n).max(), jnp.abs(ry_n).max() if me else 0.0),
             jnp.abs(rz_n).max(),
         )
+        # relative duality gap: s·z <= abstol * (1 + |obj|) — the f32-robust
+        # criterion (an absolute gap bound is unreachable when the objective
+        # scale is ~1e3 and eps_f32 ~ 1e-7).
+        obj = 0.5 * x_n @ (P @ x_n) + c @ x_n
         converged = jnp.logical_and(
-            res <= cfg.abstol + cfg.reltol * norm_data, mu_n <= cfg.abstol
+            res <= cfg.abstol + cfg.reltol * norm_data,
+            s_n @ z_n <= cfg.abstol * (1.0 + jnp.abs(obj)),
         )
         done = jnp.logical_or(converged, jnp.logical_not(finite))
         return x_n, y_n, s_n, z_n, it + 1, done
@@ -208,8 +212,10 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
         jnp.abs(rz).max(),
     )
     gap = (s @ z) / mi
+    obj = 0.5 * x @ (P @ x) + c @ x
     converged = jnp.logical_and(
-        res <= cfg.abstol + cfg.reltol * norm_data, gap <= cfg.abstol
+        res <= cfg.abstol + cfg.reltol * norm_data,
+        s @ z <= cfg.abstol * (1.0 + jnp.abs(obj)),
     )
     return QpSolution(x, y, z, s, iters, converged, res, gap)
 

@@ -213,13 +213,15 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
         z_n = jnp.where(keep, z_n, z)
 
         rx_n, ry_n, rz_n = residuals(x_n, y_n, s_n, z_n)
-        mu_n = jnp.sum(s_n * z_n, -1) / mi
         res = jnp.maximum(
             jnp.maximum(jnp.abs(rx_n).max(-1), jnp.abs(ry_n).max(-1) if me else 0.0),
             jnp.abs(rz_n).max(-1),
         )
+        # relative duality gap (f32-robust, see srbx.ops.qp)
+        obj = 0.5 * jnp.einsum("bn,bnm,bm->b", x_n, P, x_n) + jnp.sum(c * x_n, -1)
         conv = jnp.logical_and(
-            res <= cfg.abstol + cfg.reltol * norm_data, mu_n <= cfg.abstol
+            res <= cfg.abstol + cfg.reltol * norm_data,
+            jnp.sum(s_n * z_n, -1) <= cfg.abstol * (1.0 + jnp.abs(obj)),
         )
         done_n = done | conv | jnp.logical_not(finite)
         return x_n, y_n, s_n, z_n, it + 1, done_n
@@ -235,7 +237,9 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
         jnp.abs(rz).max(-1),
     )
     gap = jnp.sum(s * z, -1) / mi
+    obj = 0.5 * jnp.einsum("bn,bnm,bm->b", x, P, x) + jnp.sum(c * x, -1)
     converged = jnp.logical_and(
-        res <= cfg.abstol + cfg.reltol * norm_data, gap <= cfg.abstol
+        res <= cfg.abstol + cfg.reltol * norm_data,
+        jnp.sum(s * z, -1) <= cfg.abstol * (1.0 + jnp.abs(obj)),
     )
     return BatchSolution(x, y, z, s, iters, converged, res, gap)
