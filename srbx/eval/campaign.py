@@ -72,7 +72,9 @@ def sample_obstacles(key, n_scenarios: int, n_obstacles: int, uncertainty: float
 
 def _contact_table(n_domains: int, dtype):
     """(n_domains, 4) trot stance table starting after the stand domain."""
-    sched = gaitmod.contact_schedule(Gait.TROT, max(n_domains + 2, 12))
+    m = max(n_domains + 2, 12)
+    m += (-(m - 2)) % 4  # round up to a valid schedule length
+    sched = gaitmod.contact_schedule(Gait.TROT, m)
     return jnp.asarray(sched[:n_domains], dtype)
 
 

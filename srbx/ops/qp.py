@@ -125,17 +125,28 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
     s = s_tilde + shift
     z = jnp.ones((mi,), dtype)
 
-    # Residual scaling (relative tolerance denominators).
-    norm_data = jnp.maximum(
-        jnp.maximum(jnp.abs(c).max(), jnp.abs(b).max() if me else 0.0),
-        jnp.maximum(jnp.abs(h).max(), 1.0),
-    )
-
     def residuals(x, y, s, z):
         rx = P @ x + c + A.T @ y + G.T @ z
         ry = A @ x - b
         rz = G @ x + s - h
         return rx, ry, rz
+
+    def res_scales(x, y, z):
+        """OSQP-style relative-residual denominators: the dual residual is
+        measured against the gradient-term magnitudes (essential when cost
+        scales span ~1e8, e.g. the CLF defect penalty), the primal residual
+        against the constraint-term magnitudes."""
+        dual_scale = jnp.maximum(
+            jnp.maximum(jnp.abs(P @ x).max(), jnp.abs(c).max()),
+            jnp.maximum(
+                jnp.abs(A.T @ y).max() if me else 0.0, jnp.abs(G.T @ z).max()
+            ),
+        )
+        prim_scale = jnp.maximum(
+            jnp.maximum(jnp.abs(A @ x).max() if me else 0.0, jnp.abs(b).max() if me else 0.0),
+            jnp.maximum(jnp.abs(G @ x).max(), jnp.abs(h).max()),
+        )
+        return jnp.maximum(dual_scale, 1.0), jnp.maximum(prim_scale, 1.0)
 
     def cond(carry):
         _, _, _, _, it, done = carry
@@ -188,16 +199,17 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
         z_n = jnp.where(finite, z_n, z)
 
         rx_n, ry_n, rz_n = residuals(x_n, y_n, s_n, z_n)
-        res = jnp.maximum(
-            jnp.maximum(jnp.abs(rx_n).max(), jnp.abs(ry_n).max() if me else 0.0),
-            jnp.abs(rz_n).max(),
-        )
+        dual_scale, prim_scale = res_scales(x_n, y_n, z_n)
+        res_dual = jnp.abs(rx_n).max() / dual_scale
+        res_prim = jnp.maximum(
+            jnp.abs(ry_n).max() if me else 0.0, jnp.abs(rz_n).max()
+        ) / prim_scale
         # relative duality gap: s·z <= abstol * (1 + |obj|) — the f32-robust
         # criterion (an absolute gap bound is unreachable when the objective
         # scale is ~1e3 and eps_f32 ~ 1e-7).
         obj = 0.5 * x_n @ (P @ x_n) + c @ x_n
         converged = jnp.logical_and(
-            res <= cfg.abstol + cfg.reltol * norm_data,
+            jnp.maximum(res_dual, res_prim) <= cfg.abstol + cfg.reltol,
             s_n @ z_n <= cfg.abstol * (1.0 + jnp.abs(obj)),
         )
         done = jnp.logical_or(converged, jnp.logical_not(finite))
@@ -207,14 +219,16 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
     x, y, s, z, iters, _ = jax.lax.while_loop(cond, body, init)
 
     rx, ry, rz = residuals(x, y, s, z)
+    dual_scale, prim_scale = res_scales(x, y, z)
     res = jnp.maximum(
-        jnp.maximum(jnp.abs(rx).max(), jnp.abs(ry).max() if me else 0.0),
-        jnp.abs(rz).max(),
+        jnp.abs(rx).max() / dual_scale,
+        jnp.maximum(jnp.abs(ry).max() if me else 0.0, jnp.abs(rz).max())
+        / prim_scale,
     )
     gap = (s @ z) / mi
     obj = 0.5 * x @ (P @ x) + c @ x
     converged = jnp.logical_and(
-        res <= cfg.abstol + cfg.reltol * norm_data,
+        res <= cfg.abstol + cfg.reltol,
         s @ z <= cfg.abstol * (1.0 + jnp.abs(obj)),
     )
     return QpSolution(x, y, z, s, iters, converged, res, gap)

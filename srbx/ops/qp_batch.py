@@ -149,10 +149,22 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
     s = s_t + shift
     z = jnp.ones((bsz, mi), dtype)
 
-    norm_data = jnp.maximum(
-        jnp.maximum(jnp.abs(c).max(-1), jnp.abs(b).max(-1) if me else 0.0),
-        jnp.maximum(jnp.abs(h).max(-1), 1.0),
-    )                                                   # (B,)
+    def res_scales(x, y, z):
+        """OSQP-style relative denominators per lane (see srbx.ops.qp)."""
+        dual = jnp.maximum(
+            jnp.maximum(jnp.abs(jnp.einsum("bnm,bm->bn", P, x)).max(-1),
+                        jnp.abs(c).max(-1)),
+            jnp.maximum(
+                jnp.abs(jnp.einsum("bmn,bm->bn", A, y)).max(-1) if me else 0.0,
+                jnp.abs(jnp.einsum("bmn,bm->bn", G, z)).max(-1)),
+        )
+        prim = jnp.maximum(
+            jnp.maximum(jnp.abs(jnp.einsum("bmn,bn->bm", A, x)).max(-1) if me else 0.0,
+                        jnp.abs(b).max(-1) if me else 0.0),
+            jnp.maximum(jnp.abs(jnp.einsum("bmn,bn->bm", G, x)).max(-1),
+                        jnp.abs(h).max(-1)),
+        )
+        return jnp.maximum(dual, 1.0), jnp.maximum(prim, 1.0)
 
     def residuals(x, y, s, z):
         rx = jnp.einsum("bnm,bm->bn", P, x) + c \
@@ -213,14 +225,16 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
         z_n = jnp.where(keep, z_n, z)
 
         rx_n, ry_n, rz_n = residuals(x_n, y_n, s_n, z_n)
+        dual_s, prim_s = res_scales(x_n, y_n, z_n)
         res = jnp.maximum(
-            jnp.maximum(jnp.abs(rx_n).max(-1), jnp.abs(ry_n).max(-1) if me else 0.0),
-            jnp.abs(rz_n).max(-1),
+            jnp.abs(rx_n).max(-1) / dual_s,
+            jnp.maximum(jnp.abs(ry_n).max(-1) if me else 0.0,
+                        jnp.abs(rz_n).max(-1)) / prim_s,
         )
         # relative duality gap (f32-robust, see srbx.ops.qp)
         obj = 0.5 * jnp.einsum("bn,bnm,bm->b", x_n, P, x_n) + jnp.sum(c * x_n, -1)
         conv = jnp.logical_and(
-            res <= cfg.abstol + cfg.reltol * norm_data,
+            res <= cfg.abstol + cfg.reltol,
             jnp.sum(s_n * z_n, -1) <= cfg.abstol * (1.0 + jnp.abs(obj)),
         )
         done_n = done | conv | jnp.logical_not(finite)
@@ -232,14 +246,16 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
     )
 
     rx, ry, rz = residuals(x, y, s, z)
+    dual_s, prim_s = res_scales(x, y, z)
     res = jnp.maximum(
-        jnp.maximum(jnp.abs(rx).max(-1), jnp.abs(ry).max(-1) if me else 0.0),
-        jnp.abs(rz).max(-1),
+        jnp.abs(rx).max(-1) / dual_s,
+        jnp.maximum(jnp.abs(ry).max(-1) if me else 0.0,
+                    jnp.abs(rz).max(-1)) / prim_s,
     )
     gap = jnp.sum(s * z, -1) / mi
     obj = 0.5 * jnp.einsum("bn,bnm,bm->b", x, P, x) + jnp.sum(c * x, -1)
     converged = jnp.logical_and(
-        res <= cfg.abstol + cfg.reltol * norm_data,
+        res <= cfg.abstol + cfg.reltol,
         jnp.sum(s * z, -1) <= cfg.abstol * (1.0 + jnp.abs(obj)),
     )
     return BatchSolution(x, y, z, s, iters, converged, res, gap)
