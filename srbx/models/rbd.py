@@ -26,8 +26,6 @@ time — the per-link loops unroll into one fused XLA graph.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ assembly, CBF linearization, Bezier fit) is vmapped pure functions.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,6 @@ import numpy as np
 
 from srbx import agent as agent_mod
 from srbx import mpc as mpc_mod
-from srbx import motion as motion_mod
 from srbx.config import Gait, LowLevelConfig, MotionConfig, MpcConfig, QpConfig
 from srbx.models import a1, rbd
 from srbx.sim import wholebody as wb
