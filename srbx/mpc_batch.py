@@ -14,7 +14,17 @@ import jax.numpy as jnp
 
 from srbx import mpc, sqp
 from srbx.config import MpcConfig, QpConfig
-from srbx.ocp import assemble, default_footholds, reference_window, unpack
+from srbx.ocp import (
+    assemble,
+    condense,
+    condense_rows,
+    contract,
+    default_footholds,
+    expand,
+    expansion,
+    reference_window,
+    unpack,
+)
 from srbx.ops import qp_batch
 from srbx.ops.bezier import fit_domain_bezier
 
@@ -34,6 +44,7 @@ def run_nmpc_batch(
     backend: str = "pallas",
     tile: int = 256,
     interpret: bool = False,
+    condensed: bool = True,
 ) -> mpc.MpcOutput:
     dtype = q_xy.dtype
     bsz = q_xy.shape[0]
@@ -45,16 +56,27 @@ def run_nmpc_batch(
         use_nominal = carry_a.gait_domain <= 1
         foot = jnp.where(use_nominal, nominal, toe)
         ci2 = jnp.where(use_nominal, jnp.ones_like(ci), ci)
-        return assemble(cfg, x0, ref, foot, ci2, dtype=dtype)
+        data = assemble(cfg, x0, ref, foot, ci2, dtype=dtype)
+        e_mat, e0 = expansion(cfg, x0, foot, ci2, dtype=dtype)
+        return data, e_mat, e0
 
-    data = jax.vmap(build)(
+    data, e_mat, e0 = jax.vmap(build)(
         carry, q_xy, dq_xy, toe_xy, contact_ind, pr_agent, prd_agent,
         agent_initial,
     )
 
-    qp_sol = qp_batch.solve(*data, qp_cfg, backend=backend, tile=tile,
+    if condensed:
+        data_s = jax.vmap(lambda d, e, o: condense(cfg, d, e, o))(
+            data, e_mat, e0
+        )
+    else:
+        data_s = data
+
+    qp_sol = qp_batch.solve(*data_s, qp_cfg, backend=backend, tile=tile,
                             interpret=interpret)
-    x = qp_sol.x
+    x = (
+        jax.vmap(expand)(e_mat, e0, qp_sol.x) if condensed else qp_sol.x
+    )
 
     obs_xy = jax.vmap(lambda q, p: mpc.closest_obstacle(q, p.astype(dtype))[0])(
         q_xy, pobs_real
@@ -76,12 +98,20 @@ def run_nmpc_batch(
                 [data.h, jnp.broadcast_to(vel_h, (bsz,) + vel_h.shape), cbf[1]],
                 axis=1,
             )
+            if condensed:
+                g_s, h_s = jax.vmap(condense_rows)(g_ext, h_ext, e_mat, e0)
+                x0_s = jax.vmap(lambda xx: contract(cfg, xx))(x)
+            else:
+                g_s, h_s, x0_s = g_ext, h_ext, x
             sol = qp_batch.solve(
-                data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg,
-                backend=backend, tile=tile, interpret=interpret, x0=x,
+                data_s.P, data_s.c, data_s.A, data_s.b, g_s, h_s, qp_cfg,
+                backend=backend, tile=tile, interpret=interpret, x0=x0_s,
             )
-            ok = jnp.isfinite(sol.x).all(-1, keepdims=True)
-            x = jnp.where(ok, sol.x, x)
+            x_new = (
+                jax.vmap(expand)(e_mat, e0, sol.x) if condensed else sol.x
+            )
+            ok = jnp.isfinite(x_new).all(-1, keepdims=True)
+            x = jnp.where(ok, x_new, x)
 
     states, inputs, _, _ = jax.vmap(lambda xx: unpack(cfg, xx))(x)
     knots = jnp.concatenate(

@@ -209,6 +209,104 @@ def unpack(cfg: MpcConfig, x):
     return states, inputs, lam, slack
 
 
+def expansion(cfg: MpcConfig, x0, foothold_xy, contact_ind, dtype=None):
+    """Affine expansion of the condensed decision space.
+
+    The NMPC QP's dynamics equalities (x_{k+1} = Ad x_k + Bd u_{k+1}) and
+    COP-coupling equalities (u_k = Fp lambda_k) are linear with a trivially
+    invertible structure, so they are eliminated in closed form (standard
+    condensed MPC — the sparse formulation the reference solves with iSWIFT's
+    sparse LDL, `src/MPC_dist.cpp:249-261`, maps to a dense condensed QP on
+    TPU where dense batched algebra is the fast regime):
+
+        x_full = e0 + E v,   v = [lambda (n_lambda), slack]   (n_cond = 17)
+
+    with x = Sx x0 + Su u and u = blockdiag(Fp) lambda. The sum-lambda rows
+    stay as the condensed QP's only equalities. Returns (E, e0) with
+    E: (num_dec, n_cond), e0: (num_dec,).
+    """
+    dtype = dtype or x0.dtype
+    n_s, m, N = cfg.n_state, cfg.n_input, cfg.horizon
+    nN, mN, n_lam = n_s * N, m * N, cfg.n_lambda
+    n = cfg.num_dec
+    n_cond = n_lam + 1
+
+    ad, bd = lip.discrete(cfg.lip)
+    ad = np.asarray(ad, np.float64)
+    bd = np.asarray(bd, np.float64)
+
+    # Static rollout operators (trace-time numpy — Ad, Bd are config constants).
+    pows = [np.eye(n_s)]
+    for _ in range(N):
+        pows.append(pows[-1] @ ad)         # pows[i] = Ad^i
+    sx = np.concatenate([pows[k + 1] for k in range(N)], axis=0)   # (nN, n_s)
+    su = np.zeros((nN, mN))
+    for k in range(N):
+        for j in range(k + 1):
+            su[k * n_s : (k + 1) * n_s, j * m : (j + 1) * m] = pows[k - j] @ bd
+    sx = jnp.asarray(sx, dtype)
+    su = jnp.asarray(su, dtype)
+
+    # u = blockdiag(Fp) lambda with Fp masked by contact (runtime values).
+    fp = foothold_xy.astype(dtype) * contact_ind.astype(dtype)[None, :]
+    efp = jnp.zeros((mN, n_lam), dtype)
+    for k in range(N):
+        efp = efp.at[k * m : (k + 1) * m, 4 * k : 4 * (k + 1)].set(fp)
+
+    e_mat = jnp.zeros((n, n_cond), dtype)
+    e_mat = e_mat.at[:nN, :n_lam].set(su @ efp)
+    e_mat = e_mat.at[nN : nN + mN, :n_lam].set(efp)
+    e_mat = e_mat.at[nN + mN : nN + mN + n_lam, :n_lam].set(
+        jnp.eye(n_lam, dtype=dtype)
+    )
+    e_mat = e_mat.at[n - 1, n_cond - 1].set(1.0)
+
+    e0 = jnp.zeros((n,), dtype).at[:nN].set(sx @ x0.astype(dtype))
+    return e_mat, e0
+
+
+def condense(cfg: MpcConfig, data: OcpData, e_mat, e0) -> OcpData:
+    """Project the assembled QP onto the condensed space (see `expansion`).
+
+    The dynamics + COP equalities hold identically under the expansion, so
+    only the sum-lambda rows remain as equalities; cost and inequalities are
+    exact affine substitutions — the condensed optimum expands to the full
+    optimum (test-enforced to 1e-8 in f64).
+    """
+    nN, mN = cfg.n_state * cfg.horizon, cfg.n_input * cfg.horizon
+    a_keep = data.A[nN + mN :]
+    b_keep = data.b[nN + mN :]
+    pe = data.P @ e_mat
+    p_c = e_mat.T @ pe
+    p_c = 0.5 * (p_c + p_c.T)
+    c_c = e_mat.T @ (data.c + data.P @ e0)
+    a_c = a_keep @ e_mat
+    b_c = b_keep - a_keep @ e0
+    g_c = data.G @ e_mat
+    h_c = data.h - data.G @ e0
+    return OcpData(p_c, c_c, a_c, b_c, g_c, h_c)
+
+
+def condense_rows(rows, rhs, e_mat, e0):
+    """Project extra inequality rows (SQP CBF / velocity) onto the condensed
+    space: rows.(e0 + E v) <= rhs  =>  (rows E) v <= rhs - rows.e0."""
+    return rows @ e_mat, rhs - rows @ e0
+
+
+def expand(e_mat, e0, v):
+    """Map a condensed solution back to the full decision vector."""
+    return e0 + e_mat @ v
+
+
+def contract(cfg: MpcConfig, x_full):
+    """Extract the condensed coordinates (lambda, slack) from a full decision
+    vector — the warm-start handoff in condensed space."""
+    nN, mN = cfg.n_state * cfg.horizon, cfg.n_input * cfg.horizon
+    return jnp.concatenate(
+        [x_full[nN + mN : nN + mN + cfg.n_lambda], x_full[-1:]]
+    )
+
+
 def default_footholds(agent_initial, dtype=None):
     """Nominal stance footholds before locomotion starts
     (`src/MPC_dist.cpp:1205-1216`): initFootprint + agent initial xy."""

@@ -40,7 +40,8 @@ def test_batch_cycle_matches_vmap(backend):
     cfg = MpcConfig(use_sqp=True, sqp_iters=2)
     qcfg = QpConfig()
     args = _args()
-    outb = mpc_batch.run_nmpc_batch(cfg, qcfg, *args, backend=backend)
+    outb = mpc_batch.run_nmpc_batch(cfg, qcfg, *args, backend=backend,
+                                    condensed=False)
     carry = args[0]
     for i in [0, 3, 5]:
         c = mpc.MpcCarry(carry.gait_domain[i], carry.alpha_buffer[i])
@@ -58,10 +59,81 @@ def test_batch_cycle_pallas_interpret():
     cfg = MpcConfig(use_sqp=True, sqp_iters=1)
     qcfg = QpConfig()
     args = _args(B=4)
-    out_x = mpc_batch.run_nmpc_batch(cfg, qcfg, *args, backend="xla")
+    out_x = mpc_batch.run_nmpc_batch(cfg, qcfg, *args, backend="xla",
+                                     condensed=False)
     out_p = mpc_batch.run_nmpc_batch(
-        cfg, qcfg, *args, backend="pallas", tile=4, interpret=True
+        cfg, qcfg, *args, backend="pallas", tile=4, interpret=True,
+        condensed=False,
     )
     np.testing.assert_allclose(
         np.asarray(out_p.states), np.asarray(out_x.states), atol=1e-6
+    )
+
+
+def test_condensed_expansion_satisfies_eliminated_equalities():
+    from srbx import ocp
+
+    cfg = MpcConfig()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=4) * 0.2)
+    foot = default_footholds(jnp.asarray([0.3, -0.1]))
+    ci = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    t = np.arange(4)
+    ref = jnp.asarray(
+        np.stack([0.05 + 0.02 * t, 0.4 * np.ones(4), -0.01 * np.ones(4), np.zeros(4)])
+    )
+    data = ocp.assemble(cfg, x0, ref, foot, ci)
+    e_mat, e0 = ocp.expansion(cfg, x0, foot, ci)
+    nN = cfg.n_state * cfg.horizon
+    mN = cfg.n_input * cfg.horizon
+    for seed in range(3):
+        v = jnp.asarray(np.random.default_rng(seed).normal(size=e_mat.shape[1]))
+        xf = ocp.expand(e_mat, e0, v)
+        res = data.A[: nN + mN] @ xf - data.b[: nN + mN]
+        assert float(jnp.abs(res).max()) < 1e-12
+    # contract is a left inverse of expand on the (lambda, slack) slots
+    v2 = ocp.contract(cfg, ocp.expand(e_mat, e0, v))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-14)
+
+
+def test_condensed_qp_matches_full():
+    from srbx import ocp
+    from srbx.ops import qp
+
+    cfg = MpcConfig()
+    x0 = jnp.asarray([0.02, 0.1, -0.01, 0.0])
+    t = np.arange(4)
+    ref = jnp.asarray(
+        np.stack([0.05 + 0.02 * t, 0.4 * np.ones(4), -0.01 * np.ones(4), np.zeros(4)])
+    )
+    for ci_v in ([1.0, 1.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]):
+        ci = jnp.asarray(ci_v)
+        foot = default_footholds(jnp.asarray([0.0, 0.0]))
+        data = ocp.assemble(cfg, x0, ref, foot, ci)
+        e_mat, e0 = ocp.expansion(cfg, x0, foot, ci)
+        data_c = ocp.condense(cfg, data, e_mat, e0)
+        full = qp.solve(*data, QpConfig())
+        cond = qp.solve(*data_c, QpConfig())
+        assert bool(full.converged) and bool(cond.converged)
+        x_exp = ocp.expand(e_mat, e0, cond.x)
+        # states/inputs agree to solver tolerance; padded (absent-leg) lambda
+        # slots are cost-pinned, not constrained, so compare the trajectory.
+        np.testing.assert_allclose(
+            np.asarray(x_exp[:24]), np.asarray(full.x[:24]), atol=5e-6
+        )
+
+
+def test_batch_cycle_condensed_matches_full():
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+    qcfg = QpConfig()
+    args = _args()
+    out_f = mpc_batch.run_nmpc_batch(cfg, qcfg, *args, backend="xla",
+                                     condensed=False)
+    out_c = mpc_batch.run_nmpc_batch(cfg, qcfg, *args, backend="xla",
+                                     condensed=True)
+    np.testing.assert_allclose(
+        np.asarray(out_c.states), np.asarray(out_f.states), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c.alpha_com), np.asarray(out_f.alpha_com), atol=1e-4
     )
