@@ -87,6 +87,11 @@ class MpcConfig:
     vel_sat: float = 0.35     # +-0.35 m/s velocity saturation
     n_obstacles: int = 20     # NUMBER_OF_OBS
     fail_radius: float = 0.5  # failure detector (reference `src/MPC_dist.cpp:28`)
+    # Solve the exactly-equivalent condensed QP (dynamics + COP equalities
+    # eliminated in closed form, srbx.ocp.expansion): n 41->17, me 28->4.
+    # Off by default to keep reference-shape semantics in golden tests; the
+    # production/bench path turns it on.
+    condensed: bool = False
 
     @property
     def max_contacts(self) -> int:

@@ -26,7 +26,15 @@ import jax
 import jax.numpy as jnp
 
 from srbx.config import MpcConfig, QpConfig
-from srbx.ocp import assemble, default_footholds, reference_window, unpack
+from srbx.ocp import (
+    assemble,
+    condense,
+    default_footholds,
+    expand,
+    expansion,
+    reference_window,
+    unpack,
+)
 from srbx.ops import qp
 from srbx.ops.bezier import fit_domain_bezier
 from srbx import sqp
@@ -106,8 +114,16 @@ def run_nmpc(
     ci = jnp.where(use_nominal, jnp.ones_like(contact_ind), contact_ind)
 
     data = assemble(cfg, x0, ref, foothold_xy, ci, dtype=dtype)
-    qp_sol = qp.solve(*data, qp_cfg)
-    x = qp_sol.x
+    if cfg.condensed:
+        e_mat, e0 = expansion(cfg, x0, foothold_xy, ci, dtype=dtype)
+        data_s = condense(cfg, data, e_mat, e0)
+        qp_sol = qp.solve(*data_s, qp_cfg)
+        x = expand(e_mat, e0, qp_sol.x)
+    else:
+        e_mat = e0 = None
+        data_s = data
+        qp_sol = qp.solve(*data, qp_cfg)
+        x = qp_sol.x
 
     obs_xy, _ = closest_obstacle(q_xy, pobs_real.astype(dtype))
     if state_other is None:
@@ -118,7 +134,8 @@ def run_nmpc(
         mask = jnp.asarray([1.0, 1.0 if agent_circle_eps > 0 else 0.0], dtype)
 
     if cfg.use_sqp:
-        res = sqp.solve(cfg, qp_cfg, data, x, circles, mask)
+        res = sqp.solve(cfg, qp_cfg, data_s, x, circles, mask,
+                        full_data=data, e_mat=e_mat, e0=e0)
         x = res.x
 
     states, inputs, _, _ = unpack(cfg, x)

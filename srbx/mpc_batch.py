@@ -44,8 +44,10 @@ def run_nmpc_batch(
     backend: str = "pallas",
     tile: int = 256,
     interpret: bool = False,
-    condensed: bool = True,
+    condensed: bool | None = None,
 ) -> mpc.MpcOutput:
+    if condensed is None:
+        condensed = cfg.condensed
     dtype = q_xy.dtype
     bsz = q_xy.shape[0]
 

@@ -96,20 +96,40 @@ def solve(
     x_init,
     circles,
     circle_mask,
+    full_data: OcpData = None,
+    e_mat=None,
+    e0=None,
 ):
-    """Run the SCP loop from the plain-QP warm start x_init."""
+    """Run the SCP loop from the plain-QP warm start x_init.
+
+    When (e_mat, e0) are given, `data` is the condensed QP (srbx.ocp.condense)
+    and full_data the full-space one; the CBF/velocity rows are built in full
+    space around the full-space iterate x, projected onto the condensed space,
+    and each subproblem solves in condensed coordinates (x stays full-space).
+    """
+    from srbx.ocp import condense_rows, contract, expand
+
+    condensed = e_mat is not None
+    row_src = full_data if condensed else data
     dtype = data.P.dtype
     vel_g, vel_h = _vel_rows(cfg, dtype)
 
     def body(_, carry):
         x, _, _ = carry
         cbf_g, cbf_h = _cbf_rows(cfg, x, circles, circle_mask, dtype)
-        g_ext = jnp.concatenate([data.G, vel_g, cbf_g], axis=0)
-        h_ext = jnp.concatenate([data.h, vel_h, cbf_h], axis=0)
-        sol = qp.solve(data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg, x0=x)
+        g_ext = jnp.concatenate([row_src.G, vel_g, cbf_g], axis=0)
+        h_ext = jnp.concatenate([row_src.h, vel_h, cbf_h], axis=0)
+        if condensed:
+            g_ext, h_ext = condense_rows(g_ext, h_ext, e_mat, e0)
+            x0_s = contract(cfg, x)
+        else:
+            x0_s = x
+        sol = qp.solve(data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg,
+                       x0=x0_s)
+        x_sol = expand(e_mat, e0, sol.x) if condensed else sol.x
         # NaN-guard: keep previous iterate if the subproblem broke.
-        ok = jnp.isfinite(sol.x).all()
-        x_new = jnp.where(ok, sol.x, x)
+        ok = jnp.isfinite(x_sol).all()
+        x_new = jnp.where(ok, x_sol, x)
         return x_new, sol.converged, sol.iters
 
     x, conv, iters = jax.lax.fori_loop(

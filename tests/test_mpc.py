@@ -179,3 +179,18 @@ def test_penalty_mode_pushes_out_of_obstacle():
     res0 = sqp.solve_penalty(cfg, QCFG, data, base.x, circles,
                              jnp.zeros(1), mu=1e6, eps=0.3)
     np.testing.assert_allclose(np.asarray(res0.x), np.asarray(base.x), atol=1e-6)
+
+
+def test_run_nmpc_condensed_matches_full():
+    """cfg.condensed=True solves the exactly-equivalent condensed QP through
+    both the QP and SQP stages — trajectories match the full formulation."""
+    traj, pobs, p_start = _setup(obstacle=(2.0, 0.35))
+    for use_sqp in (False, True):
+        cfg_f = MpcConfig(use_sqp=use_sqp, sqp_iters=2)
+        cfg_c = MpcConfig(use_sqp=use_sqp, sqp_iters=2, condensed=True)
+        outs_f = _run_cycles(cfg_f, traj, pobs, p_start, 6)
+        outs_c = _run_cycles(cfg_c, traj, pobs, p_start, 6)
+        for of, oc in zip(outs_f, outs_c):
+            np.testing.assert_allclose(
+                np.asarray(oc.states), np.asarray(of.states), atol=2e-5
+            )
