@@ -107,6 +107,13 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
     the analogue of handing the iSWIFT solution to SNOPT as the NLP initial
     point, `src/MPC_dist.cpp:356-404`).
     """
+    # True-f32 matmuls: TPU default precision (bf16 passes) stalls IPM
+    # convergence; see srbx.ops.qp_batch.solve.
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(P, c, A, b, G, h, cfg, x0)
+
+
+def _solve_impl(P, c, A, b, G, h, cfg: QpConfig, x0: Optional[jax.Array]):
     dtype = P.dtype
     n = P.shape[-1]
     me = A.shape[-2]

@@ -131,7 +131,25 @@ def _step_len(v, dv):
 def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
           tile: int = 256, interpret: bool = False, x0=None):
     """All operands batch-leading: (B, ...). x0 optionally warm-starts the
-    primal iterate (the SQP handoff)."""
+    primal iterate (the SQP handoff).
+
+    backend="fused" dispatches to the fully-fused single-kernel Pallas IPM
+    (srbx.ops.qp_fused): the entire solve — all iterations — runs in one
+    kernel with VMEM-resident state."""
+    if backend == "fused":
+        from srbx.ops import qp_fused
+
+        return qp_fused.solve(P, c, A, b, G, h, cfg, tile=tile,
+                              interpret=interpret, x0=x0)
+    # IPM conditioning needs true-f32 matmuls: TPU default precision runs
+    # f32 matmuls as bf16 passes, which stalls convergence at ~1e-1 residuals
+    # (measured: conv 82% vs 100% at the NMPC shapes). The fused kernel is
+    # immune (VPU arithmetic); the einsum paths must opt out explicitly.
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(P, c, A, b, G, h, cfg, backend, tile, interpret, x0)
+
+
+def _solve_impl(P, c, A, b, G, h, cfg, backend, tile, interpret, x0):
     dtype = P.dtype
     bsz, n = c.shape
     me = A.shape[-2]
