@@ -5,6 +5,11 @@ window + foothold/QP assembly + IPM solve + SQP CBF refinement + Bezier fit
 — the workload the reference performs per agent per 20 ms HL thread period
 (`driver_scripts/qp_only_exp.cpp:666-668`, `TEST.txt:14-17`).
 
+Operating point (measured on TPU v5e, scripts/bench_batch_knee.py):
+fused single-kernel Pallas IPM, condensed QP, f32, B=65536 lanes —
+throughput still rises past B=16k (73k -> 108k -> 130k solves/s at
+4k/16k/64k); 64k is the knee where the last doubling pays <12%.
+
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;
 the 20 ms CPU-pinned period is the documented budget, BASELINE.md). So
@@ -20,23 +25,70 @@ import jax
 
 
 def main():
+    import jax.numpy as jnp
     import numpy as np
 
-    import __graft_entry__ as g
+    from srbx import mpc, mpc_batch, refplan
+    from srbx.config import MpcConfig, QpConfig
+    from srbx.ocp import default_footholds
 
-    fn, args = g.entry()
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    batch = 65536 if on_tpu else 512
+    backend = "fused" if on_tpu else "xla"
+    dtype = jnp.float32
+
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+    qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
+                      reg_dual=1e-6, max_iters=12)
+
+    ref_cfg = refplan.two_agent_config(loop_size=4_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5], dtype)
+    pobs = jnp.asarray(
+        np.stack(
+            [
+                np.random.default_rng(0).uniform(2.0, 8.0, 20),
+                np.random.default_rng(1).uniform(-2.0, 2.0, 20),
+            ]
+        ),
+        dtype,
+    )
+    ref = refplan.generate(ref_cfg, p_start, pobs, dtype=dtype)
+
+    agent0 = p_start[:2]
+    q = jnp.tile(agent0, (batch, 1)) + jnp.linspace(
+        0, 0.01, batch, dtype=dtype
+    )[:, None]
+    dq = jnp.zeros((batch, 2), dtype)
+    dom = jnp.zeros((batch,), jnp.int32)
+    alpha = jnp.stack(
+        [q[:, 0], jnp.zeros(batch, dtype), q[:, 1], jnp.zeros(batch, dtype)],
+        axis=1,
+    )
+    ci = jnp.tile(jnp.asarray([0.0, 1.0, 1.0, 0.0], dtype), (batch, 1))
+    pr = jnp.tile(ref.pr[0:2], (batch, 1, 1))
+    prd = jnp.tile(ref.prd[0:2], (batch, 1, 1))
+    a0s = jnp.tile(agent0, (batch, 1))
+    pobs_b = jnp.tile(pobs, (batch, 1, 1))
+    toes = jnp.tile(default_footholds(agent0), (batch, 1, 1))
+
+    def fn(dom, alpha, q, dq, ci):
+        out = mpc_batch.run_nmpc_batch(
+            cfg, qp_cfg, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
+            pr, prd, a0s, pobs_b, backend=backend, tile=256, condensed=True,
+        )
+        return out.states, out.alpha_com
+
     jfn = jax.jit(fn)
 
     # compile + warmup (hard host sync — block_until_ready does not reliably
     # block through the remote-TPU tunnel)
-    out = jfn(*args)
+    out = jfn(dom, alpha, q, dq, ci)
     _ = np.asarray(out[0][:1])
 
-    batch = args[2].shape[0]
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jfn(*args)
+        out = jfn(dom, alpha, q, dq, ci)
         _ = np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 

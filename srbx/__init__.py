@@ -25,6 +25,7 @@ Subpackage map (mirrors SURVEY.md §7 build plan):
   srbx.ocp         NMPC QP assembly (cost/eq/ineq, footholds, COP)
   srbx.sqp         CBF-NMPC SQP loop (replaces ifopt+SNOPT)
   srbx.mpc         per-cycle NMPC solve + Bezier fit (MPC_dist equivalent)
+  srbx.mpc_srb     convex SRB-MPC (the legacy FastMPC reduced-model family)
   srbx.lowlevel    virtual constraints + 1 kHz QP torque controller
   srbx.estimation  contact estimator, Kalman filter, kinematic odometry
   srbx.sim         batched template / whole-body simulators

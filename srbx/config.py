@@ -145,6 +145,11 @@ class QpConfig:
     reg_dual: float = 1e-9
     sigma_min: float = 1e-12
     step_frac: float = 0.99
+    # Ruiz equilibration sweeps applied to (P, c, A, G) before the IPM and
+    # undone on the returned iterates. 0 = off. Tightens f32 convergence
+    # when cost/constraint scales span many orders (e.g. the 1e8 CLF
+    # penalty next to unit friction rows).
+    ruiz_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,3 +99,24 @@ def set_des_domain(state: ConState, des) -> ConState:
 
 def force_domain_change(state: ConState) -> ConState:
     return state._replace(change_domain=jnp.asarray(True))
+
+
+def impact_detection(phase, total_contact, joint_vel, joint_vel_prev,
+                     is_stand, rel_jump: float = 0.02):
+    """Legacy impact detector (`FastMPC::impactDetection`,
+    `src/fast_MPC.cpp:588-619`): flag an impact — which resets the phase
+    clock — when (a) a joint-velocity jump exceeds 2% of the velocity norm
+    near phase 1, (b) the phase overruns 1.05, or (c) all four legs are in
+    contact mid-swing (early impact). Returns a () bool; callers reset their
+    tick counter where the reference zeroes `locoTick_`.
+    """
+    vel_jump = (
+        jnp.linalg.norm(joint_vel - joint_vel_prev)
+        > rel_jump * jnp.linalg.norm(joint_vel)
+    )
+    near_end = jnp.logical_and(phase > 0.95, phase <= 1.05)
+    impact = jnp.logical_or(
+        jnp.logical_and(near_end, vel_jump),
+        jnp.logical_or(phase >= 1.05, total_contact == 4),
+    )
+    return jnp.logical_and(impact, jnp.logical_not(is_stand))

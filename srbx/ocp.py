@@ -316,3 +316,79 @@ def default_footholds(agent_initial, dtype=None):
         dtype,
     )
     return init + agent_initial[:, None]
+
+
+# Nominal leg offsets of the PLANNED footstep table
+# (`src/MPC_dist.cpp:519-524`: FR, FL, RR, RL), relative to the body center.
+PLANNED_OFFSETS = (
+    (0.1830, -0.1320),
+    (0.1830, 0.1320),
+    (-0.1830, -0.1320),
+    (-0.1830, 0.1320),
+)
+
+
+def planned_footprint_table(
+    pr_agent,
+    agent_initial,
+    cycle,
+    samples_per_domain: int = 8,
+):
+    """Planned footstep table over ALL gait domains — the TPU realization of
+    `MPC_dist::footstepPlanner_eventbase` (`src/MPC_dist.cpp:456-700`).
+
+    The reference builds, once per cycle, an 8xM `totalFootprint` matrix:
+    domain k's foothold for a leg that TOUCHES DOWN at k is the refined APF
+    reference COM at the end of domain k's window plus the leg's nominal
+    offset (`:562-575`); a leg already in stance CARRIES its previous
+    foothold (`:568-571`); swing legs are marked inf (`:576-578`, realized
+    here as the pad-and-mask convention: carried value + contact mask).
+    Domains 0 and 1 use the initial footprint anchored at the agent start
+    (`:531-547`).
+
+    Args:
+      pr_agent: (2, T) refined reference for this agent (absolute xy).
+      agent_initial: (2,) start position.
+      cycle: (M, 4) planned contact schedule (gait.contact_schedule).
+    Returns:
+      footprints: (M, 4, 2) per-domain foothold of each leg (carried during
+        swing), mask: (M, 4) the stance mask (== cycle).
+    """
+    dtype = pr_agent.dtype
+    cycle = jnp.asarray(cycle, jnp.int32)
+    m_dom = cycle.shape[0]
+    offsets = jnp.asarray(PLANNED_OFFSETS, dtype)
+
+    k = jnp.arange(m_dom)
+    idx = jnp.clip(
+        samples_per_domain * (k - 2) + samples_per_domain - 1,
+        0,
+        pr_agent.shape[1] - 1,
+    )
+    anchors = jnp.where(
+        (k < 2)[:, None], agent_initial[None, :], pr_agent[:, idx].T
+    )                                                    # (M, 2)
+    touchdown = anchors[:, None, :] + offsets[None, :, :]  # (M, 4, 2)
+
+    ci_prev = jnp.concatenate([jnp.ones((1, 4), jnp.int32), cycle[:-1]], 0)
+
+    def step(prev_fp, inp):
+        ci, ci_p, td = inp
+        stay = (ci > 0) & (ci_p > 0)
+        fp = jnp.where(
+            (ci > 0)[:, None],
+            jnp.where(stay[:, None], prev_fp, td),
+            prev_fp,                                      # swing: carry
+        )
+        return fp, fp
+
+    _, fps = jax.lax.scan(step, touchdown[0], (cycle, ci_prev, touchdown))
+    return fps, cycle
+
+
+def planned_footholds(footprints, mask, gait_domain):
+    """(2, 4) foothold matrix + (4,) contact mask for one gait domain, with
+    the reference's terminal-column clamp (`src/MPC_dist.cpp:619-625`:
+    domains past the schedule repeat the last all-stance column)."""
+    d = jnp.clip(gait_domain, 0, footprints.shape[0] - 1)
+    return footprints[d].T, mask[d]

@@ -100,6 +100,60 @@ def _step_to_boundary(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
 
 
+def ruiz_equilibrate(P, c, A, G, h, b, iters: int):
+    """Ruiz equilibration of the QP data (OSQP-style, modified for the
+    two-block constraint layout). Returns scaled data plus the scalings
+    (d, e, f, kappa) with x = d * x_hat, y = kappa * e * y_hat,
+    z = kappa * f * z_hat, s = s_hat / f.
+
+    Iteratively drives the inf-norms of the columns of the stacked
+    [P; A; G] matrix (and symmetrically the rows of A, G) toward 1 —
+    the batched, fixed-iteration analogue of the dynamic scaling the
+    reference's LDL applies during factorization
+    (`optimization/iSWIFT/READ ME.txt:17`).
+    """
+    dtype = P.dtype
+    n = P.shape[-1]
+    d = jnp.ones((n,), dtype)
+    e = jnp.ones((A.shape[-2],), dtype)
+    f = jnp.ones((G.shape[-2],), dtype)
+    kappa = jnp.ones((), dtype)
+    eps = jnp.asarray(1e-8, dtype)
+
+    for _ in range(iters):
+        col = jnp.maximum(
+            jnp.abs(P).max(axis=-2),
+            jnp.maximum(jnp.abs(A).max(axis=-2), jnp.abs(G).max(axis=-2)),
+        )
+        dd = 1.0 / jnp.sqrt(jnp.maximum(col, eps))
+        row_a = jnp.abs(A).max(axis=-1)
+        ee = 1.0 / jnp.sqrt(jnp.maximum(row_a, eps))
+        # inert padded rows (all-zero) keep scale 1
+        ee = jnp.where(row_a > 0, ee, 1.0)
+        row_g = jnp.abs(G).max(axis=-1)
+        ff = 1.0 / jnp.sqrt(jnp.maximum(row_g, eps))
+        ff = jnp.where(row_g > 0, ff, 1.0)
+
+        P = dd[:, None] * P * dd[None, :]
+        A = ee[:, None] * A * dd[None, :]
+        G = ff[:, None] * G * dd[None, :]
+        c = dd * c
+        b = ee * b
+        h = ff * h
+        d, e, f = d * dd, e * ee, f * ff
+
+        # cost scaling: mean column norm of P vs |c|
+        cost_norm = jnp.maximum(
+            jnp.abs(P).max(axis=-2).mean(), jnp.abs(c).max()
+        )
+        kk = 1.0 / jnp.maximum(cost_norm, eps)
+        P = kk * P
+        c = kk * c
+        kappa = kappa * kk
+
+    return (P, c, A, b, G, h), (d, e, f, kappa)
+
+
 def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] = None):
     """Solve one QP. Batch with jax.vmap; all operands are single-problem.
 
@@ -110,6 +164,22 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
     # True-f32 matmuls: TPU default precision (bf16 passes) stalls IPM
     # convergence; see srbx.ops.qp_batch.solve.
     with jax.default_matmul_precision("highest"):
+        if cfg.ruiz_iters:
+            data, (d, e, f, kappa) = ruiz_equilibrate(
+                P, c, A, G, h, b, cfg.ruiz_iters
+            )
+            x0_s = x0 / d if x0 is not None else None
+            sol = _solve_impl(*data, cfg, x0_s)
+            return QpSolution(
+                x=sol.x * d,
+                y=sol.y * e / kappa,
+                z=sol.z * f / kappa,
+                s=sol.s / f,
+                iters=sol.iters,
+                converged=sol.converged,
+                res=sol.res,
+                gap=sol.gap,
+            )
         return _solve_impl(P, c, A, b, G, h, cfg, x0)
 
 

@@ -136,6 +136,32 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
     backend="fused" dispatches to the fully-fused single-kernel Pallas IPM
     (srbx.ops.qp_fused): the entire solve — all iterations — runs in one
     kernel with VMEM-resident state."""
+    if cfg.ruiz_iters:
+        import dataclasses
+
+        from srbx.ops import qp as qp_ref
+
+        data, (d, e, f, kappa) = jax.vmap(
+            lambda p_, c_, a_, g_, h_, b_: qp_ref.ruiz_equilibrate(
+                p_, c_, a_, g_, h_, b_, cfg.ruiz_iters
+            )
+        )(P, c, A, G, h, b)
+        x0_s = x0 / d if x0 is not None else None
+        sol = solve(
+            *data,
+            dataclasses.replace(cfg, ruiz_iters=0),
+            backend=backend, tile=tile, interpret=interpret, x0=x0_s,
+        )
+        return BatchSolution(
+            x=sol.x * d,
+            y=sol.y * e / kappa[:, None],
+            z=sol.z * f / kappa[:, None],
+            s=sol.s / f,
+            iters=sol.iters,
+            converged=sol.converged,
+            res=sol.res,
+            gap=sol.gap,
+        )
     if backend == "fused":
         from srbx.ops import qp_fused
 

@@ -117,3 +117,23 @@ def test_srb_rollout_hover():
         st = srb.step(cfg, st, feet, forces, 1e-3)
     np.testing.assert_allclose(np.asarray(st.p), [0.0, 0.0, 0.28], atol=1e-6)
     np.testing.assert_allclose(np.asarray(st.r), np.eye(3), atol=1e-6)
+
+
+def test_impact_detection_triggers():
+    """Legacy FastMPC impact detector (`src/fast_MPC.cpp:588-619`)."""
+    from srbx.estimation import contact
+
+    jv = jnp.ones(18) * 0.5
+    calm = jv * 1.0001
+    jumped = jv + 0.1
+
+    # velocity jump near phase 1 fires
+    assert bool(contact.impact_detection(0.98, 2, jumped, jv, False))
+    # calm velocities near phase 1 do not
+    assert not bool(contact.impact_detection(0.98, 2, calm, jv, False))
+    # phase overrun fires regardless of velocity
+    assert bool(contact.impact_detection(1.06, 2, calm, jv, False))
+    # early impact: all four feet down mid-swing
+    assert bool(contact.impact_detection(0.5, 4, calm, jv, False))
+    # nothing fires during STAND
+    assert not bool(contact.impact_detection(1.2, 4, jumped, jv, True))

@@ -2,6 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from srbx import ocp
 from srbx.config import MpcConfig, QpConfig
 from srbx.models import lip
 from srbx.ocp import assemble, default_footholds, reference_window, unpack
@@ -192,3 +193,56 @@ def test_gait_tables():
 
     sched = gaitmod.contact_schedule(Gait.TROT, 700)
     assert sched.shape == (700, 4)
+
+
+def test_planned_footprint_table_matches_naive_loop():
+    """srbx.ocp.planned_footprint_table vs a literal transcription of the
+    reference's totalFootprint construction (`src/MPC_dist.cpp:531-606`)."""
+    from srbx import gait as gait_mod
+    from srbx.config import Gait
+
+    t_len = 100
+    pr = jnp.stack(
+        [jnp.linspace(0.0, 2.0, t_len), 0.1 * jnp.sin(jnp.linspace(0, 3, t_len))]
+    )
+    agent0 = jnp.asarray([0.3, -0.2])
+    cycle = gait_mod.contact_schedule(Gait.TROT, 14)   # (M, 4)
+    fps, mask = ocp.planned_footprint_table(pr, agent0, cycle)
+
+    m_dom = cycle.shape[0]
+    off = np.asarray(ocp.PLANNED_OFFSETS)
+    pr_np = np.asarray(pr)
+    a0 = np.asarray(agent0)
+    spd = 8
+
+    expect = np.zeros((m_dom, 4, 2))
+    for k in range(m_dom):
+        if k < 2:
+            anchor = a0
+        else:
+            anchor = pr_np[:, min(spd * (k - 2) + spd - 1, t_len - 1)]
+        for i in range(4):
+            if cycle[k, i] == 1:
+                if k > 0 and cycle[k - 1, i] == 1:
+                    expect[k, i] = expect[k - 1, i]       # carry in stance
+                else:
+                    expect[k, i] = anchor + off[i]        # touchdown
+            else:
+                expect[k, i] = expect[k - 1, i]           # swing: carried
+    np.testing.assert_allclose(np.asarray(fps), expect, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(mask), cycle)
+
+
+def test_planned_footholds_clamps_past_schedule():
+    from srbx import gait as gait_mod
+    from srbx.config import Gait
+
+    pr = jnp.stack([jnp.linspace(0.0, 1.0, 40), jnp.zeros(40)])
+    agent0 = jnp.zeros(2)
+    cycle = gait_mod.contact_schedule(Gait.TROT, 10)
+    fps, mask = ocp.planned_footprint_table(pr, agent0, cycle)
+    f_last, m_last = ocp.planned_footholds(fps, mask, jnp.asarray(9))
+    f_over, m_over = ocp.planned_footholds(fps, mask, jnp.asarray(25))
+    np.testing.assert_allclose(f_over, f_last)
+    np.testing.assert_array_equal(m_over, m_last)
+    assert f_last.shape == (2, 4) and m_last.shape == (4,)

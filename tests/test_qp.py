@@ -148,3 +148,57 @@ def test_float32_convergence():
     x = np.asarray(sol.x)
     assert np.all(np.isfinite(x))
     assert (np.asarray(G) @ x - np.asarray(h)).max() < 1e-3
+
+
+def test_ruiz_equilibrated_matches_plain():
+    """Equilibrated solve returns the same primal/dual point (f64)."""
+    rng = np.random.default_rng(7)
+    P, c, A, b, G, h = _random_qp(rng, 12, 3, 20)
+    plain = qp.solve(P, c, A, b, G, h, CFG)
+    eq = qp.solve(P, c, A, b, G, h, QpConfig(ruiz_iters=3))
+    assert bool(eq.converged)
+    # both runs stop at their own convergence certificate; agreement to the
+    # tolerance scale proves the unscaling is right (a wrong unscaling would
+    # be off by the O(1e4) scaling factors)
+    np.testing.assert_allclose(eq.x, plain.x, rtol=1e-4, atol=1e-6)
+    _kkt_check(P, c, A, b, G, h, eq)
+
+
+def test_ruiz_badly_scaled_f32():
+    """A QP whose variable scales span ~1e8: without equilibration the f32
+    IPM cannot certify convergence; 3 Ruiz sweeps fix the conditioning."""
+    rng = np.random.default_rng(3)
+    n, me, mi = 12, 3, 20
+    P, c, A, b, G, h = map(np.asarray, _random_qp(rng, n, me, mi))
+    scale = np.logspace(-4, 4, n)
+    P = scale[:, None] * P * scale[None, :]
+    c = scale * c
+    A = A * scale[None, :]
+    G = G * scale[None, :]
+
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    args = tuple(map(f32, (P, c, A, b, G, h)))
+    cfg = QpConfig(abstol=1e-4, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
+                   ruiz_iters=3)
+    eq = qp.solve(*args, cfg)
+    assert bool(eq.converged)
+
+    ref = qp.solve(*map(jnp.asarray, (P, c, A, b, G, h)), CFG)
+    np.testing.assert_allclose(
+        np.asarray(eq.x), np.asarray(ref.x),
+        rtol=1e-3, atol=1e-3 * np.abs(np.asarray(ref.x)).max(),
+    )
+
+
+def test_ruiz_padded_rows_stay_inert():
+    """Equilibration must not blow up the (g=0, h=1) padding convention."""
+    rng = np.random.default_rng(11)
+    P, c, A, b, G, h = (np.array(v) for v in _random_qp(rng, 8, 2, 10))
+    G[5:] = 0.0
+    h[5:] = 1.0
+    A[1] = 0.0
+    b[1] = 0.0
+    sol = qp.solve(*map(jnp.asarray, (P, c, A, b, G, h)),
+                   QpConfig(ruiz_iters=3))
+    assert bool(sol.converged)
+    _kkt_check(P, c, A, b, G, h, sol)

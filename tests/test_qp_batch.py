@@ -76,3 +76,21 @@ def test_batch_native_nan_lane_freezes_not_poisons():
     sol = qp_batch.solve(*batch, QpConfig())
     assert bool(jnp.isfinite(sol.x).all())
     assert bool(sol.converged[0]) and bool(sol.converged[3])
+
+
+def test_batch_ruiz_matches_plain():
+    """cfg.ruiz_iters preprocessing returns the same solution through the
+    batch path (any backend) as the unscaled solve."""
+    rng = np.random.default_rng(5)
+    P, c, A, b, G, h = _random_batch(rng, 6, 10, 3, 16)
+    plain = qp_batch.solve(P, c, A, b, G, h, QpConfig())
+    eq = qp_batch.solve(P, c, A, b, G, h, QpConfig(ruiz_iters=3))
+    assert bool(eq.converged.all())
+    np.testing.assert_allclose(eq.x, plain.x, rtol=1e-4, atol=1e-6)
+    # dual variables must unscale back to the original problem's multipliers
+    rx = (
+        jnp.einsum("bnm,bm->bn", P, eq.x) + c
+        + jnp.einsum("bmn,bm->bn", A, eq.y)
+        + jnp.einsum("bmn,bm->bn", G, eq.z)
+    )
+    assert float(jnp.abs(rx).max()) < 1e-5
