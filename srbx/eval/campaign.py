@@ -182,3 +182,33 @@ def run_campaign(
 
     keys = jax.random.split(k_run, n_scenarios)
     return jax.vmap(one)(pobs, pobs_real, keys)
+
+
+def run_campaign_chunked(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref_cfg: refplan.RefPlanConfig,
+    p_start,
+    key,
+    n_scenarios: int,
+    max_chunk: int = 512,
+) -> CampaignResult:
+    """run_campaign split into <=max_chunk-scenario jitted programs.
+
+    Rationale: one 1024-scenario CBF-SQP campaign (2048 agent-lanes x 120
+    domains in a single program) deterministically crashes the remote TPU
+    worker in this environment; 512 runs clean. Chunking is also the honest
+    production shape — each chunk reuses the same compiled program, so
+    steady-state throughput is unchanged.
+    """
+    if n_scenarios <= max_chunk:
+        return run_campaign(cfg, qp_cfg, camp, ref_cfg, p_start, key, n_scenarios)
+    fn = jax.jit(
+        lambda k: run_campaign(cfg, qp_cfg, camp, ref_cfg, p_start, k, max_chunk)
+    )
+    n_chunks, rem = divmod(n_scenarios, max_chunk)
+    if rem:
+        raise ValueError(f"n_scenarios={n_scenarios} not divisible by {max_chunk}")
+    outs = [fn(k) for k in jax.random.split(key, n_chunks)]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)

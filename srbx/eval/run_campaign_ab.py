@@ -32,10 +32,11 @@ def main(n_scenarios: int = 1024, n_domains: int = 120):
     out = {"n_scenarios": n_scenarios, "n_domains": n_domains}
     for label, use_sqp in (("qp_only", False), ("cbf_sqp", True)):
         cfg = MpcConfig(use_sqp=use_sqp, sqp_iters=2)
-        fn = jax.jit(
-            lambda k, c=cfg: campaign.run_campaign(
-                c, qp_cfg, camp, ref_cfg, p_start, k, n_scenarios
-            )
+        # <=512-scenario programs: one 1024x120 CBF-SQP program crashes the
+        # remote TPU worker (see campaign.run_campaign_chunked); the compiled
+        # chunk is reused, so steady-state throughput is unaffected.
+        fn = lambda k, c=cfg: campaign.run_campaign_chunked(
+            c, qp_cfg, camp, ref_cfg, p_start, k, n_scenarios, max_chunk=512
         )
         t0 = time.perf_counter()
         res = fn(key)

@@ -261,3 +261,87 @@ def hold_reference(cfg: SrbMpcConfig, p_des, yaw_des, v_des, dtype):
 
 
 run_mpc_batch = jax.vmap(run_mpc, in_axes=(None, None, 0, 0, 0, 0))
+
+
+def raibert_footholds(cfg: SrbMpcConfig, x0, stance_dur: float,
+                      v_des, k_raibert: float = 0.03):
+    """Raibert-style touchdown targets for the SRB template
+    (`src/MotionPlanner.cpp:227-268` heuristic, reduced to the template):
+    hip projection + half-stance drift + velocity-error correction."""
+    dtype = x0.dtype
+    offsets = jnp.asarray(
+        [
+            [0.1830, -0.1320],
+            [0.1830, 0.1320],
+            [-0.1830, -0.1320],
+            [-0.1830, 0.1320],
+        ],
+        dtype,
+    )
+    v = x0[3:5]
+    aim = (
+        x0[0:2][None, :]
+        + offsets
+        + 0.5 * stance_dur * v[None, :]
+        + k_raibert * (v - v_des[0:2])[None, :]
+    )
+    z = jnp.zeros((4, 1), dtype)
+    return jnp.concatenate([aim, z], axis=1)
+
+
+def trot_template_rollout(
+    cfg: SrbMpcConfig,
+    qp_cfg: QpConfig,
+    state: srb.SrbState,
+    v_des,
+    n_half_cycles: int = 10,
+    knots_per_half: int = 5,
+    substeps: int = 3,
+):
+    """Closed-loop trot on the nonlinear SRB template: the SRB-MPC replans
+    EVERY knot over a receding horizon whose stance schedule rolls through
+    the alternating diagonal pairs; the swing pair re-steps to Raibert
+    targets at each half-cycle boundary; the nonlinear template integrates
+    the first-knot forces — the reduced-model locomotion loop of the legacy
+    FastMPC stack (`src/fast_MPC.cpp:250-505` trajectory planning +
+    `:506-584` forces).
+
+    Returns (final state, (n_half_cycles*knots_per_half, 12) state history).
+    """
+    dtype = state.p.dtype
+    stance_dur = knots_per_half * cfg.dt
+    height = jnp.asarray([0.0, 0.0, 0.28], dtype)
+    pair_a = jnp.asarray([1, 0, 0, 1], jnp.int32)
+    pair_b = jnp.asarray([0, 1, 1, 0], jnp.int32)
+
+    @jax.jit
+    def knot_step(state, foot, k_global):
+        x0 = pack_state(state)
+        # rolling schedule: half-cycle index of knot (k_global + j)
+        j = jnp.arange(cfg.horizon)
+        half = ((k_global + j) // knots_per_half) % 2
+        sched = jnp.where(half[:, None] == 0, pair_a[None, :], pair_b[None, :])
+        # re-step the incoming swing pair at half-cycle boundaries
+        at_boundary = (k_global % knots_per_half) == 0
+        aim = raibert_footholds(cfg, x0, stance_dur, v_des)
+        swing = (1 - sched[0])[:, None].astype(dtype) * at_boundary
+        foot = foot * (1.0 - swing) + aim * swing
+
+        p_ref = x0[0:3] * jnp.asarray([1.0, 1.0, 0.0], dtype) + height
+        ref = hold_reference(cfg, p_ref, x0[8], v_des, dtype)
+        out = run_mpc(cfg, qp_cfg, x0, foot, sched, ref)
+
+        def sub(s, _):
+            return srb.step(cfg.srb, s, foot, out.forces[0],
+                            cfg.dt / substeps), None
+
+        state2, _ = jax.lax.scan(sub, state, None, length=substeps)
+        return state2, foot, pack_state(state2)
+
+    foot = raibert_footholds(cfg, pack_state(state), stance_dur,
+                             jnp.zeros(3, dtype))
+    hist = []
+    for k in range(n_half_cycles * knots_per_half):
+        state, foot, x = knot_step(state, foot, jnp.asarray(k, jnp.int32))
+        hist.append(x)
+    return state, jnp.stack(hist)

@@ -56,3 +56,36 @@ def test_failure_detector_latches():
     assert not bool(res.success[0])
     assert bool(res.success[1])
     assert float(res.min_clearance[0]) < 0.5
+
+
+def test_chunked_campaign_matches_direct():
+    """run_campaign_chunked == per-chunk direct calls, concatenated."""
+    import jax
+
+    cfg = MpcConfig(use_sqp=False)
+    qp_cfg = QpConfig(max_iters=8, abstol=1e-6, reltol=1e-6,
+                      reg_primal=1e-9, reg_dual=1e-9)
+    camp = campaign.CampaignConfig(n_agents=2, n_domains=3)
+    ref_cfg = refplan.two_agent_config(loop_size=2_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    key = jax.random.key(7)
+
+    chunked = campaign.run_campaign_chunked(
+        cfg, qp_cfg, camp, ref_cfg, p_start, key, 4, max_chunk=2
+    )
+    keys = jax.random.split(key, 2)
+    direct = [
+        campaign.run_campaign(cfg, qp_cfg, camp, ref_cfg, p_start, k, 2)
+        for k in keys
+    ]
+    assert chunked.success.shape[0] == 4
+    np.testing.assert_allclose(
+        np.asarray(chunked.min_clearance[0:2]),
+        np.asarray(direct[0].min_clearance),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.min_clearance[2:4]),
+        np.asarray(direct[1].min_clearance),
+        rtol=1e-6,
+    )

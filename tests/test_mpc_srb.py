@@ -179,3 +179,22 @@ def test_batched_solve_matches_single():
     np.testing.assert_allclose(
         out_b.forces[2], out_0.forces, rtol=1e-8, atol=1e-7
     )
+
+
+@pytest.mark.slow
+def test_trot_template_tracks_velocity():
+    """Rolling-horizon SRB-MPC trot on the nonlinear template: tracks a
+    forward velocity command with level attitude and held height."""
+    cfg = CFG
+    qp = QpConfig(abstol=1e-4, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
+                  max_iters=15)
+    st = srb.init_state(p=(0.0, 0.0, 0.28))
+    v_des = jnp.asarray([0.3, 0.0, 0.0])
+    fin, hist = mpc_srb.trot_template_rollout(cfg, qp, st, v_des,
+                                              n_half_cycles=12)
+    h = np.asarray(hist)
+    assert h[-1, 0] > 0.4                       # forward progress
+    vx_tail = h[30:, 3]
+    assert 0.25 < vx_tail.mean() < 0.45         # velocity tracking
+    assert np.abs(h[:, 2] - 0.28).max() < 0.02  # height held
+    assert np.abs(h[-1, 6:8]).max() < 0.05      # level attitude
