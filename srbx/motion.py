@@ -6,7 +6,8 @@ initial toe positions, and Raibert-style step length; during STAND generate
 the 8-point Bezier stand-up trajectory.
 
 Gaits implemented: STAND, TROT (MPC-driven desired velocity), WALK, PACE,
-INPLACE_TROT, TAP. POSE's teach-pendant sinusoids live in `pose_com`.
+INPLACE_TROT, INPLACE_WALK, TAP. POSE's teach-pendant sinusoids live in
+`pose_com`.
 All branches are masked updates on a fixed-shape PlannerState so one jitted
 program covers every lane regardless of its gait phase.
 """
@@ -209,6 +210,41 @@ def plan_inplace_trot(motion: MotionConfig, state: PlannerState, change_domain,
         dom_ticks=jnp.where(change_domain, 160.0, state.dom_ticks),
         des_domain=jnp.where(change_domain, new_des, state.des_domain),
         cycle_idx=jnp.where(change_domain, state.cycle_idx + 1, state.cycle_idx),
+    )
+
+
+_INPLACE_WALK = np.asarray(
+    [[0, 1, 1, 1], [1, 0, 1, 1], [1, 1, 1, 0], [1, 1, 0, 1]], np.int32
+)
+
+
+def plan_tap(motion: MotionConfig, state: PlannerState, change_domain, toe_pos):
+    """TAP (`src/MotionPlanner.cpp:155-163`): hold the FL leg raised
+    ({1, 0, 1, 1}) for 1.5 s domains, zero step length."""
+    new_des = jnp.asarray([1, 0, 1, 1], jnp.int32)
+    return state._replace(
+        toe_init=jnp.where(change_domain, toe_pos.T, state.toe_init),
+        step_len=jnp.where(change_domain, jnp.zeros_like(state.step_len),
+                           state.step_len),
+        dom_ticks=jnp.where(change_domain, 1500.0, state.dom_ticks),
+        des_domain=jnp.where(change_domain, new_des, state.des_domain),
+        cycle_idx=jnp.where(change_domain, state.cycle_idx + 1,
+                            state.cycle_idx),
+    )
+
+
+def plan_inplace_walk(motion: MotionConfig, state: PlannerState,
+                      change_domain, toe_pos):
+    """INPLACE_WALK (`src/MotionPlanner.cpp:164-177`): cycle one swing leg
+    at a time (FR, FL, RL, RR) through 0.3 s domains, toes re-anchored."""
+    n = jnp.mod(state.cycle_idx + 1, 4)
+    new_des = jnp.asarray(_INPLACE_WALK)[n]
+    return state._replace(
+        toe_init=jnp.where(change_domain, toe_pos.T, state.toe_init),
+        dom_ticks=jnp.where(change_domain, 300.0, state.dom_ticks),
+        des_domain=jnp.where(change_domain, new_des, state.des_domain),
+        cycle_idx=jnp.where(change_domain, state.cycle_idx + 1,
+                            state.cycle_idx),
     )
 
 
