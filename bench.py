@@ -6,9 +6,10 @@ window + foothold/QP assembly + IPM solve + SQP CBF refinement + Bezier fit
 (`driver_scripts/qp_only_exp.cpp:666-668`, `TEST.txt:14-17`).
 
 Operating point (measured on TPU v5e, scripts/bench_batch_knee.py):
-fused single-kernel Pallas IPM, condensed QP, f32, B=65536 lanes —
-throughput still rises past B=16k (73k -> 108k -> 130k solves/s at
-4k/16k/64k); 64k is the knee where the last doubling pays <12%.
+fused single-kernel Pallas IPM, condensed QP (n 41->17, me 28->4), big-M
+box rows elided (mi 92->44; provably inactive, test-enforced equivalent),
+f32, B=65536 lanes. Progression: 73k (B=4k) -> 130k (B=64k, condensed)
+-> 165k solves/s (+ box elision).
 
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;
@@ -37,7 +38,7 @@ def main():
     backend = "fused" if on_tpu else "xla"
     dtype = jnp.float32
 
-    cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2, elide_box_rows=True)
     qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
                       reg_dual=1e-6, max_iters=12)
 

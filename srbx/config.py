@@ -92,6 +92,12 @@ class MpcConfig:
     # Off by default to keep reference-shape semantics in golden tests; the
     # production/bench path turns it on.
     condensed: bool = False
+    # Drop the +-box_bound (1e3) state/input rows from the inequality set
+    # (48 of 92 rows). They are big-M rows the reference carries but that
+    # can never activate at the problem's operating scale (states/inputs
+    # O(10) vs bound 1e3); eliding them shrinks every IPM iteration's
+    # G^T W G work by ~half. Off by default for reference-shape parity.
+    elide_box_rows: bool = False
 
     @property
     def max_contacts(self) -> int:
@@ -119,10 +125,22 @@ class MpcConfig:
         return nN + mN + mN // 2
 
     @property
-    def n_ineq(self) -> int:
-        """Padded inequality rows: 2m(N-1) + 2nN + 2mN + 2*ndomain*4."""
+    def box_row_range(self) -> tuple:
+        """(start, stop) of the +-box_bound state/input rows within the
+        FULL inequality block (assembly order: COP-COM | box | lambda)."""
         nN, mN = self.n_state * self.horizon, self.n_input * self.horizon
-        return 2 * self.n_input * (self.horizon - 1) + 2 * nN + 2 * mN + 2 * self.n_lambda
+        r1 = 2 * self.n_input * (self.horizon - 1)
+        return r1, r1 + 2 * nN + 2 * mN
+
+    @property
+    def n_ineq(self) -> int:
+        """Padded inequality rows: 2m(N-1) + 2nN + 2mN + 2*ndomain*4,
+        minus the elided box rows when elide_box_rows is set."""
+        nN, mN = self.n_state * self.horizon, self.n_input * self.horizon
+        full = 2 * self.n_input * (self.horizon - 1) + 2 * nN + 2 * mN + 2 * self.n_lambda
+        if self.elide_box_rows:
+            full -= 2 * nN + 2 * mN
+        return full
 
     @property
     def n_ineq_sqp(self) -> int:

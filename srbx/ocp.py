@@ -80,7 +80,9 @@ def assemble(cfg: MpcConfig, x0, ref_traj, foothold_xy, contact_ind, dtype=None)
     n_lam = cfg.n_lambda
     n = cfg.num_dec
     me = cfg.n_eq
-    mi = cfg.n_ineq
+    # Build the FULL inequality block; the elided-box variant drops rows at
+    # the end (static indexing, so shapes stay jit-constant per config).
+    mi = 2 * m * (N - 1) + 2 * nN + 2 * mN + 2 * n_lam
 
     contact_ind = contact_ind.astype(dtype)
     ad, bd = lip.discrete(cfg.lip)
@@ -187,6 +189,12 @@ def assemble(cfg: MpcConfig, x0, ref_traj, foothold_xy, contact_ind, dtype=None)
     h = h.at[r2 : r2 + n_lam].set(0.0)
     g = g.at[r2 + n_lam : r2 + 2 * n_lam, lam_cols].set(jnp.eye(n_lam, dtype=dtype))
     h = h.at[r2 + n_lam : r2 + 2 * n_lam].set(1.0)
+
+    if cfg.elide_box_rows:
+        b0, b1 = cfg.box_row_range
+        keep = np.r_[0:b0, b1:mi]
+        g = g[keep, :]
+        h = h[keep]
 
     return OcpData(p_mat, c, a_eq, b_eq, g, h)
 

@@ -96,10 +96,22 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
         eye_n = (row == col).astype(dtype)[:, :, None]
 
         def factor(w, delta_p, delta_d):
-            # M = P + Gᵀ diag(w) G + δI  (mi rank-1 updates, VPU FMAs)
+            # M = P + Gᵀ diag(w) G + δI. Rank-1 updates are batched in
+            # chunks: one (chunk, n, n, T) FMA per group instead of mi tiny
+            # ops — the kernel is instruction-overhead bound, not flop
+            # bound, so fewer/larger vector ops win (measured on TPU).
             acc = p_ref[:] + delta_p * eye_n
             g = g_ref[:]
-            for i in range(mi):
+            chunk = 8
+            for i0 in range(0, mi - (mi % chunk), chunk):
+                gc = g[i0 : i0 + chunk]                     # (chunk, n, T)
+                wc = w[i0 : i0 + chunk]                     # (chunk, T)
+                acc = acc + jnp.sum(
+                    (wc[:, None, None, :] * gc[:, :, None, :])
+                    * gc[:, None, :, :],
+                    axis=0,
+                )
+            for i in range(mi - (mi % chunk), mi):
                 gi = g[i]                                   # (n, T)
                 acc = acc + (w[i][None, None, :] * gi[:, None, :]) * gi[None, :, :]
             m_scr[:] = acc

@@ -137,3 +137,40 @@ def test_batch_cycle_condensed_matches_full():
     np.testing.assert_allclose(
         np.asarray(out_c.alpha_com), np.asarray(out_f.alpha_com), atol=1e-4
     )
+
+
+def test_elide_box_rows_equivalent():
+    """Dropping the +-1e3 big-M state/input box rows cannot change the
+    solution at operating scale (states O(10) << 1e3) — full vs elided
+    cycles agree to solver tolerance in both formulations."""
+    import dataclasses
+
+    from srbx.ocp import assemble, default_footholds
+
+    B = 8
+    qp_cfg = QpConfig()
+    dom = jnp.zeros((B,), jnp.int32)
+    q = jnp.tile(jnp.asarray([0.0, 0.5]), (B, 1))
+    dq = jnp.zeros((B, 2))
+    alpha = jnp.stack([q[:, 0], jnp.zeros(B), q[:, 1], jnp.zeros(B)], 1)
+    ci = jnp.tile(jnp.asarray([0.0, 1.0, 1.0, 0.0]), (B, 1))
+    ref_cfg = refplan.two_agent_config(loop_size=2_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    pobs = jnp.asarray([[5.0] * 20, [50.0] * 20])
+    ref = refplan.generate(ref_cfg, p_start, pobs)
+    pr = jnp.tile(ref.pr[0:2], (B, 1, 1))
+    prd = jnp.tile(ref.prd[0:2], (B, 1, 1))
+    a0s = jnp.tile(p_start[:2], (B, 1))
+    pobs_b = jnp.tile(pobs, (B, 1, 1))
+    toes = jnp.tile(default_footholds(p_start[:2]), (B, 1, 1))
+
+    outs = {}
+    for elide in (False, True):
+        cfg = MpcConfig(use_sqp=True, sqp_iters=2, elide_box_rows=elide)
+        outs[elide] = mpc_batch.run_nmpc_batch(
+            cfg, qp_cfg, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
+            pr, prd, a0s, pobs_b, backend="xla", condensed=True,
+        ).states
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), atol=1e-4
+    )
