@@ -6,10 +6,11 @@ window + foothold/QP assembly + IPM solve + SQP CBF refinement + Bezier fit
 (`driver_scripts/qp_only_exp.cpp:666-668`, `TEST.txt:14-17`).
 
 Operating point (measured on TPU v5e, scripts/bench_batch_knee.py):
-fused single-kernel Pallas IPM, condensed QP (n 41->17, me 28->4), big-M
-box rows elided (mi 92->44; provably inactive, test-enforced equivalent),
-f32, B=65536 lanes. Progression: 73k (B=4k) -> 130k (B=64k, condensed)
--> 165k solves/s (+ box elision).
+fused single-kernel Pallas IPM, condensed QP (n 41->17, me 28->4),
+statically-redundant rows elided (mi 92->28: big-M boxes + implied
+lambda<=1; test-enforced equivalent), f32, B=65536 lanes. Progression:
+73k (B=4k) -> 130k (B=64k, condensed) -> 165k (+ box elision) -> 176k
+solves/s (+ lambda-upper elision).
 
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;

@@ -92,11 +92,13 @@ class MpcConfig:
     # Off by default to keep reference-shape semantics in golden tests; the
     # production/bench path turns it on.
     condensed: bool = False
-    # Drop the +-box_bound (1e3) state/input rows from the inequality set
-    # (48 of 92 rows). They are big-M rows the reference carries but that
-    # can never activate at the problem's operating scale (states/inputs
-    # O(10) vs bound 1e3); eliding them shrinks every IPM iteration's
-    # G^T W G work by ~half. Off by default for reference-shape parity.
+    # Drop statically-redundant inequality rows (64 of 92): the +-box_bound
+    # (1e3) state/input big-M rows, which can never activate at operating
+    # scale (values O(10) vs bound 1e3), and the lambda<=1 rows, which are
+    # implied by the sum(lambda)=1 equalities together with lambda>=0.
+    # Shrinks every IPM iteration's G^T W G work ~3x; equivalence to the
+    # full formulation is test-enforced. Off by default for
+    # reference-shape parity.
     elide_box_rows: bool = False
 
     @property
@@ -135,11 +137,12 @@ class MpcConfig:
     @property
     def n_ineq(self) -> int:
         """Padded inequality rows: 2m(N-1) + 2nN + 2mN + 2*ndomain*4,
-        minus the elided box rows when elide_box_rows is set."""
+        minus the elided redundant rows when elide_box_rows is set
+        (state/input boxes and the implied lambda<=1 block)."""
         nN, mN = self.n_state * self.horizon, self.n_input * self.horizon
         full = 2 * self.n_input * (self.horizon - 1) + 2 * nN + 2 * mN + 2 * self.n_lambda
         if self.elide_box_rows:
-            full -= 2 * nN + 2 * mN
+            full -= 2 * nN + 2 * mN + self.n_lambda
         return full
 
     @property

@@ -192,7 +192,9 @@ def assemble(cfg: MpcConfig, x0, ref_traj, foothold_xy, contact_ind, dtype=None)
 
     if cfg.elide_box_rows:
         b0, b1 = cfg.box_row_range
-        keep = np.r_[0:b0, b1:mi]
+        # also drop lambda <= 1 (rows [r2 + n_lam, r2 + 2 n_lam)): implied
+        # by sum(lambda) = 1 equalities + lambda >= 0.
+        keep = np.r_[0:b0, r2 : r2 + n_lam]
         g = g[keep, :]
         h = h[keep]
 
