@@ -206,7 +206,32 @@ def calc_torque(
 
     f_des: (12,) desired per-leg GRF target (`vc->fDes`; the SRB force
     distribution of srbx.models.srb can supply it, else zeros).
+
+    True-f32 matmuls: the QP data are products of dynamics quantities
+    (Jc D^-1 Jc^T, ...); on TPU the default bf16-pass precision makes them
+    inconsistent at the 1e-3 level and the IPM certificate becomes
+    unreachable (measured: 57% vs 97% converged LL ticks in the f32
+    whole-body loop). Forcing highest precision here covers the dynamics
+    and assembly traced inside.
     """
+    with jax.default_matmul_precision("highest"):
+        return _calc_torque_impl(
+            ll_cfg, qp_cfg, model, q, qd, contact_ind, vc, f_des,
+            include_coriolis,
+        )
+
+
+def _calc_torque_impl(
+    ll_cfg: LowLevelConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    q,
+    qd,
+    contact_ind,
+    vc: VcOut,
+    f_des,
+    include_coriolis: bool = False,
+):
     dtype = q.dtype
     nq = TOTAL_DOF
     d_mat = rbd.mass_matrix(model, q)
