@@ -1,0 +1,54 @@
+"""4-agent whole-body team on one chip — the A1_Sim_4_agents workload
+(`src/A1_Sim_4_agents.cpp`) at full fidelity: per-agent 18-DoF physics,
+1 kHz LL QP, event-cadence NMPC with neighbor-state CBF circles, APF refs.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from srbx import refplan
+from srbx.config import LowLevelConfig, MotionConfig, MpcConfig, QpConfig
+from srbx.models import a1
+from srbx.sim import closedloop, wholebody as wb
+
+n_domains = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+dtype = jnp.float32
+model = a1.model()
+
+ref_cfg = refplan.four_agent_config(loop_size=20_000)
+p_start = jnp.asarray([0.0, 1.5, 0.0, 0.5, 0.0, -0.5, 0.0, -1.5], dtype)
+pobs = jnp.asarray(
+    np.stack([np.random.default_rng(0).uniform(3.0, 8.0, 20),
+              np.random.default_rng(1).uniform(-2.0, 2.0, 20)]), dtype)
+ref = refplan.generate(ref_cfg, p_start, pobs, dtype=dtype)
+
+loop = closedloop.LoopConfig(stand_ticks=800, n_domains=n_domains)
+qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
+                  max_iters=12)
+mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=True,
+                    elide_box_rows=True)
+
+pr = ref.pr.reshape(4, 2, -1)
+prd = ref.prd.reshape(4, 2, -1)
+agent0 = p_start.reshape(4, 2)
+
+fn = jax.jit(lambda: closedloop.run_team(
+    mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
+    loop, model, pr, prd, agent0, pobs, dtype=dtype))
+t0 = time.perf_counter()
+res = fn()
+sims, com_ends, margins, llok = res
+_ = np.asarray(com_ends[:1])
+wall = time.perf_counter() - t0
+ce = np.asarray(com_ends); mg = np.asarray(margins); lk = np.asarray(llok)
+final = ce[-1]
+import itertools
+dmin = min(np.linalg.norm(final[i] - final[j]) for i, j in itertools.combinations(range(4), 2))
+print(f"final agent xy:\n{np.round(final, 3)}")
+print(f"min inter-agent distance {dmin:.2f} m; min CBF margin {mg.min():.2f}; LL-QP ok {lk.mean():.3f}")
+assert np.isfinite(ce).all()
+print(f"wall incl compile {wall:.1f}s", flush=True)
