@@ -212,3 +212,58 @@ def run_campaign_chunked(
         raise ValueError(f"n_scenarios={n_scenarios} not divisible by {max_chunk}")
     outs = [fn(k) for k in jax.random.split(key, n_chunks)]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+def run_campaign_sharded(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref_cfg: refplan.RefPlanConfig,
+    p_start,
+    key,
+    n_scenarios: int,
+    mesh=None,
+) -> CampaignResult:
+    """run_campaign with the scenario axis sharded over a device mesh.
+
+    Campaigns are pure data-parallel (the reference runs them as a serial
+    for-loop, `src/A1_Sim.cpp:931`): each device gets a contiguous slice of
+    obstacle fields / keys via shard_map and runs the identical vmapped
+    closed loop; no collectives are needed until the host-side summary.
+    This is the multi-host scaling shape of the north star — scenario
+    slices over DCN, agents within a scenario on-chip.
+    """
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs, axis_names=("scen",))
+    n_dev = mesh.shape["scen"]
+    if n_scenarios % n_dev:
+        raise ValueError(f"n_scenarios={n_scenarios} not divisible by "
+                         f"{n_dev} devices")
+
+    k_obs, k_run = jax.random.split(key)
+    pobs, pobs_real = sample_obstacles(
+        k_obs, n_scenarios, camp.n_obstacles, camp.obstacle_uncertainty
+    )
+    keys = jax.random.split(k_run, n_scenarios)
+
+    def one(pobs_s, pobs_real_s, k):
+        ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=jnp.float64
+                               if jax.config.jax_enable_x64 else jnp.float32)
+        return run_scenario(cfg, qp_cfg, camp, ref, p_start, pobs_real_s, k)
+
+    local = jax.vmap(one)
+    # check_vma off: the closed-loop scan carries mix replicated constants
+    # (p_start, gait tables) with per-shard state, which the varying-axes
+    # checker rejects even though the program is correct (pure DP — no
+    # cross-shard communication exists to get wrong).
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("scen"), P("scen"), P("scen")),
+        out_specs=P("scen"),
+        check_vma=False,
+    )
+    return sharded(pobs, pobs_real, keys)

@@ -89,3 +89,49 @@ CONTROL_TICK_SPEC = LogSpec(
     },
     capacity=60_000,
 )
+
+
+def to_reference_csv(log_state, path: str):
+    """Write a CONTROL_TICK_SPEC buffer in the reference's EXACT 140-column
+    `DataLog::writeData` row layout (`src/DataLog.cpp:17-78`): t, y(12),
+    tau(12), q(18), dq(18), hd(12), dhd(12), ddhd(12), two blocks of
+    literal integers 0..11 (placeholder columns the reference emits),
+    dy(12), V, dV, force(4), phase — so the reference's offline MATLAB
+    analysis consumes srbx logs unchanged. Output-vector fields wider than
+    12 are truncated to their first 12 entries (the reference zero-pads to
+    12); ddhd is not tracked by the spec and is written as zeros.
+    """
+    bufs, idx = log_state
+    n = int(np.minimum(int(idx), next(iter(bufs.values())).shape[0]))
+
+    def col(name, width=None):
+        arr = np.asarray(bufs[name][:n]).reshape(n, -1)
+        return arr[:, :width] if width else arr
+
+    placeholders = np.tile(np.arange(12, dtype=float), (n, 1))
+    zeros12 = np.zeros((n, 12))
+    table = np.concatenate(
+        [
+            col("t").reshape(n, 1),
+            col("y", 12),
+            col("tau"),
+            col("q"),
+            col("dq"),
+            col("hd", 12),
+            col("dhd", 12),
+            zeros12,                 # ddhd (not tracked; reference pads)
+            placeholders,            # literal 0..11 (src/DataLog.cpp:61-64)
+            placeholders,            # literal 0..11 (src/DataLog.cpp:65-68)
+            col("dy", 12),
+            col("v_lyap").reshape(n, 1),
+            col("dv_lyap").reshape(n, 1),
+            col("grf")[:, 2::3][:, :4],   # per-foot normal force
+            col("phase").reshape(n, 1),
+        ],
+        axis=1,
+    )
+    # the reference row ends with a trailing comma (no header)
+    with open(path, "w", newline="") as fh:
+        for row in table:
+            fh.write(",".join(f"{v:.10g}" for v in row) + ",\n")
+    return table.shape

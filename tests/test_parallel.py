@@ -71,3 +71,29 @@ def test_team_cycle_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(states[0, 0]), np.asarray(out.states), atol=1e-7
     )
+
+
+def test_sharded_campaign_matches_unsharded():
+    """Scenario-sharded campaign (shard_map over the 8-device virtual mesh)
+    equals the single-device vmap campaign lane for lane."""
+    from srbx.eval import campaign as camp_mod
+
+    cfg = MpcConfig(use_sqp=False)
+    qp_cfg = QpConfig(max_iters=8)
+    camp = camp_mod.CampaignConfig(n_agents=2, n_domains=3)
+    ref_cfg = refplan.two_agent_config(loop_size=2_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    key = jax.random.key(3)
+
+    plain = jax.jit(lambda k: camp_mod.run_campaign(
+        cfg, qp_cfg, camp, ref_cfg, p_start, k, 8))(key)
+    sharded = jax.jit(lambda k: camp_mod.run_campaign_sharded(
+        cfg, qp_cfg, camp, ref_cfg, p_start, k, 8))(key)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.min_clearance), np.asarray(plain.min_clearance),
+        rtol=1e-7, atol=1e-9,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.success), np.asarray(plain.success)
+    )

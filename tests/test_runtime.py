@@ -81,3 +81,35 @@ def test_udp_loopback_neighbor_state(lib):
     assert struct.unpack("4d", got) == (0.1, 0.2, 0.3, 0.4)
     rx.close()
     tx.close()
+
+
+def test_reference_csv_layout():
+    """to_reference_csv emits the exact 140-column DataLog row
+    (`src/DataLog.cpp:17-78`), trailing comma included."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from srbx.io import datalog
+
+    spec = datalog.LogSpec(fields=dict(datalog.CONTROL_TICK_SPEC.fields),
+                           capacity=4)
+    state = datalog.make_buffer(spec)
+    for k in range(3):
+        vals = {name: jnp.full(shape, float(k + 1))
+                for name, shape in spec.fields.items()}
+        state = datalog.record(state, vals)
+
+    path = "/tmp/srbx_ref_log.csv"
+    shape = datalog.to_reference_csv(state, path)
+    assert shape == (3, 140)
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 3
+    first = lines[0].split(",")
+    assert first[-1] == ""            # trailing comma like the reference
+    row = np.asarray([float(v) for v in first[:-1]])
+    assert row.shape == (140,)
+    assert row[0] == 1.0              # t
+    np.testing.assert_allclose(row[1:13], 1.0)          # y
+    np.testing.assert_allclose(row[97:109], np.arange(12))   # placeholder 1
+    np.testing.assert_allclose(row[109:121], np.arange(12))  # placeholder 2
+    np.testing.assert_allclose(row[85:97], 0.0)              # ddhd zeros
