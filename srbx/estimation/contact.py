@@ -120,3 +120,41 @@ def impact_detection(phase, total_contact, joint_vel, joint_vel_prev,
         jnp.logical_or(phase >= 1.05, total_contact == 4),
     )
     return jnp.logical_and(impact, jnp.logical_not(is_stand))
+
+
+def prob_contact_update(p_prev, force, foot_z, phase,
+                        f_mid: float = 25.0, f_scale: float = 8.0,
+                        z_mid: float = 0.02, z_scale: float = 0.01,
+                        trans_stay: float = 0.98):
+    """Probabilistic contact estimator — the filter the reference stubs out
+    with a force threshold (`ContactEst::updateConEst`,
+    `src/ContactEst.cpp:69-75`, "temporarily in place of prob kalman").
+
+    A discrete two-state Bayes filter per leg: predict with a sticky
+    transition model gated by the gait phase (contact is a-priori likely
+    late in swing, unlikely early), then update with sigmoid likelihoods of
+    the measured normal force and foot height — the standard probabilistic
+    contact fusion (cf. MIT Cheetah). All masked fixed-shape ops; vmaps
+    across legs/agents/scenarios.
+
+    Args:
+      p_prev: (4,) previous contact probabilities.
+      force: (4,) foot force measurements (N).
+      foot_z: (4,) foot heights above ground (m).
+      phase: () gait phase in [0, ~1.05].
+    Returns (4,) posterior contact probabilities.
+    """
+    # phase-gated prior: expected contact probability from the schedule
+    p_phase = jax.nn.sigmoid((phase - 0.75) / 0.08)
+    trans_gain = 1.0 - trans_stay
+    p_pred = trans_stay * p_prev + trans_gain * p_phase
+
+    # measurement likelihoods
+    l_force = jax.nn.sigmoid((force - f_mid) / f_scale)
+    l_height = jax.nn.sigmoid((z_mid - foot_z) / z_scale)
+    like_c = jnp.clip(l_force * l_height, 1e-6, 1.0)
+    like_n = jnp.clip((1.0 - l_force) * (1.0 - l_height), 1e-6, 1.0)
+
+    num = p_pred * like_c
+    den = num + (1.0 - p_pred) * like_n
+    return num / jnp.maximum(den, 1e-12)

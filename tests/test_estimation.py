@@ -137,3 +137,35 @@ def test_impact_detection_triggers():
     assert bool(contact.impact_detection(0.5, 4, calm, jv, False))
     # nothing fires during STAND
     assert not bool(contact.impact_detection(1.2, 4, jumped, jv, True))
+
+
+def test_prob_contact_filter_converges_and_rejects_spikes():
+    """Probabilistic contact estimator (the reference's planned prob-Kalman,
+    stubbed at `src/ContactEst.cpp:69-75`): converges on sustained evidence,
+    stays low on a single-tick force spike mid-swing."""
+    from srbx.estimation import contact
+
+    p = jnp.full((4,), 0.5)
+    # sustained stance evidence late in phase -> high probability
+    for _ in range(30):
+        p = contact.prob_contact_update(
+            p, jnp.full((4,), 60.0), jnp.full((4,), 0.001), 0.9)
+    assert float(p.min()) > 0.95
+
+    # sustained swing evidence early in phase -> low probability
+    p = jnp.full((4,), 0.5)
+    for _ in range(30):
+        p = contact.prob_contact_update(
+            p, jnp.zeros((4,)), jnp.full((4,), 0.08), 0.3)
+    assert float(p.max()) < 0.05
+
+    # one spurious force spike mid-swing barely moves it
+    p_before = p
+    p = contact.prob_contact_update(
+        p, jnp.full((4,), 60.0), jnp.full((4,), 0.08), 0.3)
+    assert float(p.max()) < 0.5
+    # but sustained touchdown evidence (force + height) flips it fast
+    for _ in range(10):
+        p = contact.prob_contact_update(
+            p, jnp.full((4,), 60.0), jnp.full((4,), 0.001), 0.95)
+    assert float(p.min()) > 0.9
