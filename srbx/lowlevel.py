@@ -368,3 +368,47 @@ def _calc_torque_impl(
         dv_lyap=dv,
         qp_converged=sol.converged,
     )
+
+
+def swing_inv_kin(model: rbd.Model, q, qd, vc: VcOut, contact_ind,
+                  kp: float = 20.0, ctrl_hz: int = 1000):
+    """Differential IK joint commands for the swing legs
+    (`LowLevelCtrl::swingInvKin`, `src/LowLevelCtrl.cpp:451-489`): per swing
+    leg, solve the 3x3 hip-relative toe Jacobian for joint velocities that
+    realize the desired toe velocity plus a proportional pull (gain 20)
+    toward the desired toe position, discounting base angular motion; then
+    integrate one tick for the joint-position command (the on-robot joint
+    PD setpoints). Masked fixed shapes: stance legs return the current
+    (q, qd) unchanged.
+
+    Returns (q_cmd (12,), dq_cmd (12,)) actuated-joint commands.
+    """
+    dtype = q.dtype
+    sites_p = rbd.site_positions(model, q)
+    sites_j = rbd.site_jacobians(model, q)
+    toe_pos, hip_pos = sites_p[a1.TOE_SITES], sites_p[a1.HIP_SITES]
+    toe_jac, hip_jac = sites_j[a1.TOE_SITES], sites_j[a1.HIP_SITES]
+    swing = (1.0 - contact_ind.astype(dtype))
+
+    dq_cmd = qd[6:]
+    q_cmd = q[6:]
+    for i in range(4):
+        rows = slice(6 + 3 * i, 9 + 3 * i)      # this leg's rows in vc.hd
+        jrel = toe_jac[i] - hip_jac[i]          # (3, 18)
+        j_theta = jrel[:, 3:6]                  # base-orientation columns
+        j_q = jrel[:, 6 + 3 * i : 9 + 3 * i]    # this leg's joint columns
+        dxde_h = vc.dhd[rows] - hip_jac[i] @ qd
+        xde_h = vc.hd[rows] - hip_pos[i]
+        xe_h = toe_pos[i] - hip_pos[i]
+        rhs = dxde_h + kp * (xde_h - xe_h) - j_theta @ qd[3:6]
+        dq_i = jnp.linalg.solve(
+            j_q + (1.0 - swing[i]) * jnp.eye(3, dtype=dtype), rhs
+        )
+        sl = slice(3 * i, 3 * i + 3)
+        dq_cmd = dq_cmd.at[sl].set(
+            swing[i] * dq_i + (1.0 - swing[i]) * dq_cmd[sl]
+        )
+        q_cmd = q_cmd.at[sl].set(
+            q_cmd[sl] + swing[i] * dq_i / ctrl_hz
+        )
+    return q_cmd, dq_cmd

@@ -112,3 +112,47 @@ def test_contact_estimator_debounce_and_latch():
         st = contact.update(st, jnp.asarray([100.0] * 4), 0.8, 30.0)
     assert bool(st.change_domain)
     assert int(st.cnt) == 4
+
+
+def test_swing_inv_kin_tracks_desired_toe_velocity():
+    """swing_inv_kin (`src/LowLevelCtrl.cpp:451-489`): the commanded joint
+    velocities realize the desired hip-relative toe velocity + position
+    pull for swing legs, and leave stance joints untouched."""
+    from srbx import lowlevel as llmod
+
+    MODEL = a1.model()
+    q = wb.default_crouch(MODEL).at[2].set(0.28)
+    qd = jnp.zeros(18).at[0].set(0.1).at[4].set(0.05)
+    ci = jnp.asarray([1.0, 0.0, 0.0, 1.0])   # FL, RR swing
+
+    hd = jnp.zeros(18)
+    dhd = jnp.zeros(18)
+    toe_pos = rbd.site_positions(MODEL, q)[a1.TOE_SITES]
+    for i in range(4):
+        rows = slice(6 + 3 * i, 9 + 3 * i)
+        hd = hd.at[rows].set(toe_pos[i] + jnp.asarray([0.02, 0.0, 0.03]))
+        dhd = dhd.at[rows].set(jnp.asarray([0.1, 0.0, 0.2]))
+    vc = llmod.VcOut(y=jnp.zeros(18), dy=jnp.zeros(18),
+                     h0_mat=jnp.zeros((18, 18)), dh0=jnp.zeros(18),
+                     hd=hd, dhd=dhd, ddhd=jnp.zeros(18),
+                     out_mask=jnp.ones(18))
+
+    q_cmd, dq_cmd = llmod.swing_inv_kin(MODEL, q, qd, vc, ci)
+    # stance joints unchanged
+    np.testing.assert_allclose(np.asarray(dq_cmd[0:3]), np.asarray(qd[6:9]))
+    np.testing.assert_allclose(np.asarray(q_cmd[9:12]), np.asarray(q[15:18]))
+
+    # swing legs: J_rel qdot_cmd == dxde_h + 20 (xde - xe) - Jtheta w
+    sites_j = rbd.site_jacobians(MODEL, q)
+    hip_jac = sites_j[a1.HIP_SITES]
+    hip_pos = rbd.site_positions(MODEL, q)[a1.HIP_SITES]
+    for i in (1, 2):
+        rows = slice(6 + 3 * i, 9 + 3 * i)
+        jrel = sites_j[a1.TOE_SITES][i] - hip_jac[i]
+        qd_full = qd.at[6 + 3 * i : 9 + 3 * i].set(dq_cmd[3 * i : 3 * i + 3])
+        lhs = jrel[:, 6 + 3 * i : 9 + 3 * i] @ dq_cmd[3 * i : 3 * i + 3]
+        rhs = (dhd[rows] - hip_jac[i] @ qd
+               + 20.0 * ((hd[rows] - hip_pos[i]) - (toe_pos[i] - hip_pos[i]))
+               - jrel[:, 3:6] @ qd[3:6])
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   atol=1e-9)
