@@ -9,7 +9,9 @@ is built on demand with the repo's Makefile (g++ only — no pybind11).
 from __future__ import annotations
 
 import ctypes
+import dataclasses
 import pathlib
+import struct
 import subprocess
 
 _DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
@@ -142,3 +144,78 @@ class Udp:
     def close(self):
         self._lib.srbx_udp_close(self._fd)
         self._fd = -1
+
+
+# --------------------------------------------------------------------------- #
+# Wireless remote parsing (`include/remoteCtrl.h:4-81`, frame layout per the
+# vendored `unitree_legged_sdk/include/unitree_legged_sdk/unitree_joystick.h`:
+# head[2] | 16-bit button union | lx, rx, ry, L2, ly floats — 40-byte frame).
+# --------------------------------------------------------------------------- #
+
+_BTN_BYTE2 = ("R1", "L1", "start", "select", "R2", "L2")
+_BTN_BYTE3 = ("A", "B", "X", "Y", "up", "right", "down", "left")
+REMOTE_BUTTONS = _BTN_BYTE2 + ("F1", "F2") + _BTN_BYTE3
+
+
+@dataclasses.dataclass
+class RemoteState:
+    """Decoded wireless-remote frame. Button values use the reference's
+    press-state convention (`remoteCtrl.h:38`): 0 = released, 1 = newly
+    pressed this frame, 2 = held."""
+
+    buttons: dict
+    lx: float = 0.0
+    rx: float = 0.0
+    ry: float = 0.0
+    l2: float = 0.0
+    ly: float = 0.0
+
+
+def parse_remote(raw: bytes, prev: RemoteState | None = None) -> RemoteState:
+    """Decode a 40-byte Unitree wireless-remote frame
+    (`getButtonState`, `include/remoteCtrl.h:31-81`)."""
+    if len(raw) < 24:
+        raise ValueError(f"remote frame too short: {len(raw)} bytes")
+    old = prev.buttons if prev is not None else {}
+    btns = {}
+    for c, name in enumerate(_BTN_BYTE2):
+        pressed = (raw[2] >> c) & 1
+        btns[name] = (2 if old.get(name, 0) >= 1 else 1) if pressed else 0
+    btns["F1"] = (raw[2] >> 6) & 1
+    btns["F2"] = (raw[2] >> 7) & 1
+    for c, name in enumerate(_BTN_BYTE3):
+        pressed = (raw[3] >> c) & 1
+        btns[name] = (2 if old.get(name, 0) >= 1 else 1) if pressed else 0
+    lx, rx, ry, l2, ly = struct.unpack_from("<5f", raw, 4)
+    return RemoteState(buttons=btns, lx=lx, rx=rx, ry=ry, l2=l2, ly=ly)
+
+
+# --------------------------------------------------------------------------- #
+# Joint-restore utility (`src/restoreConfig.cpp:34-76`): ramp the legs back
+# to the tucked nominal configuration with a linear interpolation at 500 Hz.
+# --------------------------------------------------------------------------- #
+
+RESTORE_TARGET = (0.0, 1.310163, -2.525674)  # (hip, thigh, calf) per leg
+RESTORE_KP = 180.0
+RESTORE_KD = 12.0
+
+
+def restore_joint_command(q_init, t_s: float, start_s: float = 1.0,
+                          duration_s: float = 2.0):
+    """Joint position command at time t_s of the restore ramp.
+
+    q_init: (12,) joint angles captured during the settle window.
+    Returns (q_cmd (12,), kp, kd): before start_s the command is q_init with
+    zero gains (the reference sends zero-gain commands while settling,
+    `restoreConfig.cpp:73-79`); during the ramp, linear interpolation to the
+    tucked pose with stiff PD (`:59-71`).
+    """
+    import numpy as _np
+
+    q_init = _np.asarray(q_init, float)
+    target = _np.tile(_np.asarray(RESTORE_TARGET), 4)
+    rate = (t_s - start_s) / duration_s
+    rate = min(max(rate, 0.0), 1.0)
+    if t_s < start_s:
+        return q_init.copy(), 0.0, 0.0
+    return q_init * (1.0 - rate) + target * rate, RESTORE_KP, RESTORE_KD

@@ -113,3 +113,51 @@ def test_reference_csv_layout():
     np.testing.assert_allclose(row[97:109], np.arange(12))   # placeholder 1
     np.testing.assert_allclose(row[109:121], np.arange(12))  # placeholder 2
     np.testing.assert_allclose(row[85:97], 0.0)              # ddhd zeros
+
+
+def test_parse_remote_buttons_and_sticks():
+    """Wireless-remote frame decode (`include/remoteCtrl.h:31-81` + SDK
+    joystick layout): bit positions, press-state transitions, stick floats."""
+    import struct as _struct
+
+    from srbx import runtime
+
+    raw = bytearray(40)
+    raw[2] = 0b00000101        # R1 (bit 0) + start (bit 2)
+    raw[3] = 0b10000001        # A (bit 0) + left (bit 7)
+    _struct.pack_into("<5f", raw, 4, 0.25, -0.5, 0.75, 1.0, -0.125)
+
+    st = runtime.parse_remote(bytes(raw))
+    assert st.buttons["R1"] == 1 and st.buttons["start"] == 1
+    assert st.buttons["A"] == 1 and st.buttons["left"] == 1
+    assert st.buttons["L1"] == 0 and st.buttons["B"] == 0
+    assert (st.lx, st.rx, st.ry, st.l2, st.ly) == (0.25, -0.5, 0.75, 1.0, -0.125)
+
+    # held on the next frame -> state 2; released -> 0
+    st2 = runtime.parse_remote(bytes(raw), st)
+    assert st2.buttons["R1"] == 2 and st2.buttons["A"] == 2
+    raw[2] = 0
+    raw[3] = 0
+    st3 = runtime.parse_remote(bytes(raw), st2)
+    assert st3.buttons["R1"] == 0 and st3.buttons["A"] == 0
+
+
+def test_restore_joint_command_ramp():
+    """Joint-restore ramp (`src/restoreConfig.cpp:34-76`): settle window with
+    zero gains, linear ramp to the tucked pose with stiff PD."""
+    import numpy as np
+
+    from srbx import runtime
+
+    q0 = np.asarray([0.1, 0.9, -1.8] * 4)
+    q_cmd, kp, kd = runtime.restore_joint_command(q0, 0.5)
+    np.testing.assert_allclose(q_cmd, q0)
+    assert kp == 0.0 and kd == 0.0
+
+    q_cmd, kp, kd = runtime.restore_joint_command(q0, 2.0)   # mid-ramp
+    expect = 0.5 * q0 + 0.5 * np.tile(runtime.RESTORE_TARGET, 4)
+    np.testing.assert_allclose(q_cmd, expect)
+    assert kp == runtime.RESTORE_KP and kd == runtime.RESTORE_KD
+
+    q_cmd, _, _ = runtime.restore_joint_command(q0, 10.0)    # clamped at end
+    np.testing.assert_allclose(q_cmd, np.tile(runtime.RESTORE_TARGET, 4))
