@@ -1,0 +1,63 @@
+"""Full-fidelity success-rate campaign: randomized obstacle fields evaluated
+through the WHOLE-BODY closed loop (18-DoF physics + 1 kHz LL QP +
+CBF-NMPC), not the template simulator — the exact shape of the reference's
+RaiSim experiment (`src/A1_Sim.cpp:811-1274`), vmapped over scenarios.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from srbx import refplan
+from srbx.config import LowLevelConfig, MotionConfig, MpcConfig, QpConfig
+from srbx.eval import campaign
+from srbx.models import a1
+from srbx.sim import closedloop, wholebody as wb
+
+n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+dtype = jnp.float32
+model = a1.model()
+
+# obstacle fields shifted into the robot's early path (the whole-body run
+# covers ~1-2 m in n_domains, so sample x in [1, 4])
+key = jax.random.key(42)
+k1, k2, k3 = jax.random.split(key, 3)
+xs = jax.random.uniform(k1, (n_scen, 20), minval=1.0, maxval=4.0)
+ys = jax.random.uniform(k2, (n_scen, 20), minval=-1.5, maxval=1.5)
+pobs = jnp.stack([xs, ys], axis=1).astype(dtype)            # (S, 2, 20)
+
+loop = closedloop.LoopConfig(stand_ticks=800, n_domains=n_domains)
+qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
+                  max_iters=12)
+mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=True,
+                    elide_box_rows=True)
+ref_cfg = refplan.two_agent_config(loop_size=8_000)
+p_start = jnp.asarray([0.0, 0.0, 0.0, -1.0], dtype)
+
+def one(pobs_s):
+    ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=dtype)
+    return closedloop.run(
+        mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
+        loop, model, ref.pr[0:2], ref.prd[0:2], p_start[:2], pobs_s,
+        dtype=dtype)
+
+fn = jax.jit(jax.vmap(one))
+t0 = time.perf_counter()
+res = fn(pobs)
+com = np.asarray(res.com_hist)          # (S, D, ticks, 3)
+wall = time.perf_counter() - t0
+
+xy = com[..., :2].reshape(n_scen, -1, 2)          # (S, T, 2)
+obs = np.asarray(pobs)                            # (S, 2, 20)
+d = np.linalg.norm(xy[:, :, None, :] - obs.transpose(0, 2, 1)[:, None], axis=-1)
+min_clear = d.min(axis=(1, 2))                    # (S,)
+success = min_clear > 0.5
+print(f"scenarios={n_scen} domains={n_domains} wall {wall:.1f}s (incl compile)")
+print(f"success {success.mean()*100:.1f}%  min clearance p50 "
+      f"{np.median(min_clear):.2f} m  worst {min_clear.min():.2f} m  "
+      f"qp_ok {float(np.asarray(res.qp_ok).mean()):.3f}  "
+      f"finite={np.isfinite(com).all()}", flush=True)
