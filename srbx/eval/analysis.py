@@ -18,11 +18,15 @@ def campaign_summary(result) -> dict:
     success = np.asarray(result.success)
     min_clear = np.asarray(result.min_clearance)
     fail_d = np.asarray(result.fail_distance)
+    finite = np.isfinite(min_clear)
     return {
         "n_scenarios": int(success.shape[0]) if success.ndim > 1 else 1,
         "n_agents": int(success.shape[-1]),
         "success_rate": float(success.mean()),
-        "mean_min_clearance": float(np.where(np.isfinite(min_clear), min_clear, np.nan).mean()),
+        "mean_min_clearance": float(np.nanmean(
+            np.where(finite, min_clear, np.nan)
+        )) if finite.any() else float("nan"),
+        "nonfinite_lanes": int((~finite).sum()),
         "failing_distances": fail_d[~success].tolist(),
         "qp_ok_frac": float(np.asarray(result.qp_ok_frac).mean()),
     }

@@ -29,9 +29,12 @@ def main(n_scenarios: int = 1024, n_domains: int = 120):
     p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5], jnp.float32)
     key = jax.random.key(0)
 
-    out = {"n_scenarios": n_scenarios, "n_domains": n_domains}
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    out = {"n_scenarios": n_scenarios, "n_domains": n_domains,
+           "formulation": "condensed+elided" if on_tpu else "reference-shape"}
     for label, use_sqp in (("qp_only", False), ("cbf_sqp", True)):
-        cfg = MpcConfig(use_sqp=use_sqp, sqp_iters=2)
+        cfg = MpcConfig(use_sqp=use_sqp, sqp_iters=2,
+                        condensed=on_tpu, elide_box_rows=on_tpu)
         # <=512-scenario programs: one 1024x120 CBF-SQP program crashes the
         # remote TPU worker (see campaign.run_campaign_chunked); the compiled
         # chunk is reused, so steady-state throughput is unaffected.

@@ -66,6 +66,21 @@ def init_carry(agent_initial, dtype=jnp.float64) -> MpcCarry:
     return MpcCarry(jnp.zeros((), jnp.int32), buf)
 
 
+def hold_position_x(cfg: MpcConfig, x0, contact_ind):
+    """Emergency 'hold position' decision vector: states pinned at the
+    current position with zero velocity, COP at the COM, uniform lambda
+    over present legs, zero slack — the safe-fallback target when a lane's
+    solve goes non-finite."""
+    dtype = x0.dtype
+    zero = jnp.zeros((), dtype)
+    st = jnp.stack([x0[0], zero, x0[2], zero])
+    states = jnp.tile(st, cfg.horizon)
+    cop = jnp.tile(jnp.stack([x0[0], x0[2]]), cfg.horizon)
+    ci = contact_ind.astype(dtype)
+    lam = jnp.tile(ci / jnp.maximum(jnp.sum(ci), 1.0), cfg.ndomain)
+    return jnp.concatenate([states, cop, lam, jnp.zeros((1,), dtype)])
+
+
 def closest_obstacle(q_xy, pobs):
     """Index & position of the obstacle closest to the agent
     (`src/MPC_dist.cpp:371-396`). pobs: (2, n_obs)."""
@@ -137,6 +152,13 @@ def run_nmpc(
         res = sqp.solve(cfg, qp_cfg, data_s, x, circles, mask,
                         full_data=data, e_mat=e_mat, e0=e0)
         x = res.x
+
+    # Per-lane elasticity (the batched analogue of the reference's
+    # stale-solution fallback, `src/LocoWrapper.cpp:1168-1174`): if a lane's
+    # solve is non-finite (rare f32 conditioning events through the
+    # condensed elimination, or garbage inputs), hold position this cycle
+    # instead of poisoning the closed loop.
+    x = jnp.where(jnp.isfinite(x).all(), x, hold_position_x(cfg, x0, ci))
 
     states, inputs, _, _ = unpack(cfg, x)
 

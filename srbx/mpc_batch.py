@@ -115,6 +115,13 @@ def run_nmpc_batch(
             ok = jnp.isfinite(x_new).all(-1, keepdims=True)
             x = jnp.where(ok, x_new, x)
 
+    # per-lane hold-position elasticity (see mpc.run_nmpc)
+    x0s = jnp.stack([q_xy[:, 0], dq_xy[:, 0], q_xy[:, 1], dq_xy[:, 1]], axis=1)
+    holds = jax.vmap(lambda x0, cc: mpc.hold_position_x(cfg, x0, cc))(
+        x0s, contact_ind
+    )
+    x = jnp.where(jnp.isfinite(x).all(-1, keepdims=True), x, holds)
+
     states, inputs, _, _ = jax.vmap(lambda xx: unpack(cfg, xx))(x)
     knots = jnp.concatenate(
         [carry.alpha_buffer[:, :, None], jnp.swapaxes(states, 1, 2)], axis=2

@@ -194,3 +194,32 @@ def test_run_nmpc_condensed_matches_full():
             np.testing.assert_allclose(
                 np.asarray(oc.states), np.asarray(of.states), atol=2e-5
             )
+
+
+def test_nonfinite_solve_falls_back_to_hold_position():
+    """Per-lane elasticity: garbage inputs (non-finite footholds) must yield
+    a finite hold-position plan instead of NaN states — the batched
+    analogue of the reference's stale-solution fallback
+    (`src/LocoWrapper.cpp:1168-1174`)."""
+    import jax
+
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2, condensed=True)
+    qp_cfg = QpConfig(max_iters=10)
+    carry = mpc.init_carry(jnp.asarray([0.0, 0.5]))
+    carry = mpc.MpcCarry(jnp.asarray(3), carry.alpha_buffer)  # past nominal
+    pr = jnp.zeros((2, 100)).at[0].set(jnp.linspace(0, 2, 100))
+    prd = jnp.zeros((2, 100))
+    bad_toes = jnp.full((2, 4), jnp.nan)
+    out = mpc.run_nmpc(
+        cfg, qp_cfg, carry,
+        jnp.asarray([0.3, 0.5]), jnp.zeros(2), bad_toes,
+        jnp.asarray([0.0, 1.0, 1.0, 0.0]),
+        pr, prd, jnp.asarray([0.0, 0.5]), jnp.full((2, 20), 100.0),
+    )
+    st = np.asarray(out.states)
+    assert np.isfinite(st).all()
+    # hold position: every knot pinned at the current COM, zero velocity
+    np.testing.assert_allclose(st[:, 0], 0.3, atol=1e-12)
+    np.testing.assert_allclose(st[:, 2], 0.5, atol=1e-12)
+    np.testing.assert_allclose(st[:, 1], 0.0, atol=1e-12)
+    assert np.isfinite(np.asarray(out.alpha_com)).all()
