@@ -370,6 +370,170 @@ def _calc_torque_impl(
     )
 
 
+N_DEC2 = 25
+N_EQ2 = 12
+N_INEQ2 = 45
+
+
+def calc_torque_2(
+    ll_cfg: LowLevelConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    q,
+    qd,
+    contact_ind,
+    vc: VcOut,
+    f_des,
+    include_coriolis: bool = False,
+):
+    """Alternative soft-output LL formulation
+    (`LowLevelCtrl::calcTorque_2/cost_2/constraints_2`,
+    `src/LowLevelCtrl.cpp:228-425`).
+
+    Where `calc_torque` enforces the I/O-linearized output dynamics as
+    equalities with explicit defect variables, this variant moves output
+    tracking into the cost: auxPen * ||A x + C||^2 with
+    A = H0 D^-1 [Jc^T, B] and C = -H0 D^-1 H + dH0 + kp y + kd dy
+    (`cost_2`, `:327-341`), plus dfPen force tracking toward f_des and a
+    tauPen torque penalty. The only equalities are the contact-consistency
+    rows Jc D^-1 (Jc^T F + B tau) = Jc D^-1 H - dJc qd (`constraints_2`,
+    `:371-373`); friction cones and torque bounds as in the primary path.
+    The optional CLF row expresses the output-dynamics defect implicitly
+    as A x + C (the same quantity the primary path's aux variables carry).
+
+    Decision x = [F (12, padded) | tau (12) | clf defect] -> n = 25.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _calc_torque_2_impl(
+            ll_cfg, qp_cfg, model, q, qd, contact_ind, vc, f_des,
+            include_coriolis,
+        )
+
+
+def _calc_torque_2_impl(
+    ll_cfg: LowLevelConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    q,
+    qd,
+    contact_ind,
+    vc: VcOut,
+    f_des,
+    include_coriolis: bool = False,
+):
+    dtype = q.dtype
+    nq = TOTAL_DOF
+    d_mat = rbd.mass_matrix(model, q)
+    h_bias = rbd.bias_forces(model, q, qd, include_coriolis=include_coriolis)
+    d_inv = jnp.linalg.inv(d_mat)
+    b_mat = jnp.zeros((nq, 12), dtype).at[6:, :].set(jnp.eye(12, dtype=dtype))
+
+    sites_j = rbd.site_jacobians(model, q)
+    toe_jac = sites_j[a1.TOE_SITES]
+    toe_jdqd = rbd.site_jdot_qd(model, q, qd)[a1.TOE_SITES]
+
+    con = contact_ind.astype(dtype)
+    jc = toe_jac * con[:, None, None]
+    jc_flat = jc.reshape(12, nq)
+    djc_qd = (toe_jdqd * con[:, None]).reshape(12)
+
+    kp, kd = ll_cfg.kp, ll_cfg.kd
+    use_clf = 1 if ll_cfg.use_clf else 0
+    con_rep = jnp.repeat(con, 3)
+
+    # ------------------------------- cost --------------------------------- #
+    # A = H0 D^-1 [Jc^T | B] over the (F, tau) block; C = L + kp y + kd dy
+    h0_dinv = vc.h0_mat @ d_inv                        # (18, 18)
+    a_out = jnp.concatenate([h0_dinv @ jc_flat.T, h0_dinv @ b_mat], axis=1)
+    a_out = a_out * vc.out_mask[:, None]               # (18, 24)
+    c_out = (-h0_dinv @ h_bias + vc.dh0 + kp * vc.y + kd * vc.dy) * vc.out_mask
+
+    p_mat = jnp.zeros((N_DEC2, N_DEC2), dtype)
+    p_mat = p_mat.at[0:24, 0:24].set(ll_cfg.aux_pen * (a_out.T @ a_out))
+    p_diag = jnp.concatenate(
+        [
+            jnp.full((12,), ll_cfg.df_pen, dtype),
+            jnp.full((12,), ll_cfg.tau_pen, dtype),
+            jnp.full((1,), ll_cfg.clf_pen if use_clf else 1.0, dtype),
+        ]
+    )
+    p_mat = p_mat + jnp.diag(p_diag)
+    c = jnp.zeros((N_DEC2,), dtype)
+    c = c.at[0:12].set(-ll_cfg.df_pen * f_des * con_rep)
+    c = c.at[0:24].add(ll_cfg.aux_pen * (a_out.T @ c_out))
+
+    # ---------------------------- equalities ------------------------------ #
+    jc_dinv = jc_flat @ d_inv
+    a_eq = jnp.zeros((N_EQ2, N_DEC2), dtype)
+    a_eq = a_eq.at[:, 0:12].set(jc_dinv @ jc_flat.T)
+    a_eq = a_eq.at[:, 12:24].set(jc_dinv @ b_mat)
+    b_eq = jc_dinv @ h_bias - djc_qd
+
+    # --------------------------- inequalities ----------------------------- #
+    g = jnp.zeros((N_INEQ2, N_DEC2), dtype)
+    h = jnp.ones((N_INEQ2,), dtype)
+    mu = ll_cfg.mu
+    gc = jnp.asarray(
+        [
+            [1.0, 0.0, -mu / np.sqrt(2)],
+            [-1.0, 0.0, -mu / np.sqrt(2)],
+            [0.0, 1.0, -mu / np.sqrt(2)],
+            [0.0, -1.0, -mu / np.sqrt(2)],
+            [0.0, 0.0, -1.0],
+        ],
+        dtype,
+    )
+    for i in range(4):
+        rows = slice(5 * i, 5 * i + 5)
+        g = g.at[rows, 3 * i : 3 * i + 3].set(con[i] * gc)
+        h = h.at[rows].set(jnp.where(con[i] > 0, 0.0, 1.0))
+    sat = jnp.tile(jnp.asarray(ll_cfg.sat, dtype), 4)
+    g = g.at[20:32, 12:24].set(jnp.eye(12, dtype=dtype))
+    g = g.at[32:44, 12:24].set(-jnp.eye(12, dtype=dtype))
+    h = h.at[20:44].set(jnp.concatenate([sat, sat]))
+
+    if use_clf:
+        v, lf_v, lg_v, c_eps = _clf_terms(ll_cfg, vc.y, vc.dy, vc.out_mask, dtype)
+        # V' = LfV + cV + LgV . (A x + C) with the relaxation var's -1 column
+        g = g.at[44, 0:24].set(lg_v @ a_out)
+        g = g.at[44, 24].set(-1.0)
+        h = h.at[44].set(-lf_v - c_eps * v - lg_v @ c_out)
+    else:
+        v = jnp.zeros((), dtype)
+        lf_v = jnp.zeros((), dtype)
+        lg_v = jnp.zeros((18,), dtype)
+        c_eps = jnp.zeros((), dtype)
+
+    sol = qp.solve(p_mat, c, a_eq, b_eq, g, h, qp_cfg)
+    f_qp = sol.x[0:12] * con_rep
+    tau = sol.x[12:24]
+
+    dv = (
+        lf_v + c_eps * v + lg_v @ (a_out @ sol.x[0:24] + c_out)
+        if use_clf
+        else jnp.zeros((), dtype)
+    )
+
+    tau_full = jnp.zeros((nq,), dtype).at[6:].set(tau)
+    ddq = d_inv @ (b_mat @ tau - h_bias + jc_flat.T @ f_qp)
+    hz = float(ll_cfg.ctrl_hz)
+    dq_next = qd + ddq / hz
+    q_next = q + dq_next / hz + 0.5 / (hz * hz) * ddq
+
+    return LLOut(
+        tau=tau_full[6:],
+        grf=f_qp,
+        y=vc.y,
+        dy=vc.dy,
+        ddq=ddq,
+        q_next=q_next,
+        dq_next=dq_next,
+        v_lyap=v,
+        dv_lyap=dv,
+        qp_converged=sol.converged,
+    )
+
+
 def swing_inv_kin(model: rbd.Model, q, qd, vc: VcOut, contact_ind,
                   kp: float = 20.0, ctrl_hz: int = 1000):
     """Differential IK joint commands for the swing legs
