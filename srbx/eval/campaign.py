@@ -184,6 +184,119 @@ def run_campaign(
     return jax.vmap(one)(pobs, pobs_real, keys)
 
 
+def run_campaign_batch(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref_cfg: refplan.RefPlanConfig,
+    p_start,
+    key,
+    n_scenarios: int,
+    backend: str = "fused",
+    tile: int = 256,
+) -> CampaignResult:
+    """run_campaign restructured for the fused-kernel solver path.
+
+    Mathematically identical to run_campaign (test-enforced), but the QP/SQP
+    solves of ALL (scenario x agent) lanes per domain run through ONE
+    batch-native solve (srbx.mpc_batch / srbx.ops.qp_fused) instead of
+    vmapping the per-agent cycle — the lane axis reaches the Pallas IPM as
+    the TPU lane dimension rather than as an XLA batched-op axis. Neighbor
+    exchange is a roll on the agent sub-axis of the flattened lane axis.
+    """
+    from srbx import mpc_batch
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    na = camp.n_agents
+    n_lanes = n_scenarios * na
+    agent0 = p_start.reshape(na, 2).astype(dtype)
+
+    k_obs, k_run = jax.random.split(key)
+    pobs, pobs_real = sample_obstacles(
+        k_obs, n_scenarios, camp.n_obstacles, camp.obstacle_uncertainty
+    )
+
+    def plan(pobs_s):
+        ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=dtype)
+        return ref.pr.reshape(na, 2, -1), ref.prd.reshape(na, 2, -1)
+
+    pr, prd = jax.vmap(plan)(pobs)                       # (S, na, 2, T)
+    pr_l = pr.reshape(n_lanes, 2, -1)
+    prd_l = prd.reshape(n_lanes, 2, -1)
+    pobs_l = jnp.repeat(pobs_real.astype(dtype), na, axis=0)   # (L, 2, n_obs)
+    agent0_l = jnp.tile(agent0, (n_scenarios, 1))        # (L, 2)
+    contacts = _contact_table(camp.n_domains, dtype)
+
+    def step(carry, inp):
+        carries, q, dq, failed, fail_dist, min_clear, ok_cnt = carry
+        ci, key_d = inp
+        other = jnp.concatenate([q, dq], axis=1).reshape(n_scenarios, na, 4)
+        other = jnp.roll(other, shift=-1, axis=1).reshape(n_lanes, 4)
+        # state_other is always threaded (as in run_scenario's agent_cycle);
+        # the eps gate masks the neighbor circle's rows when the inter-agent
+        # CBF is off, keeping the IPM iterate path identical to run_campaign
+        out = mpc_batch.run_nmpc_batch(
+            cfg, qp_cfg, carries, q, dq,
+            jax.vmap(default_footholds)(q),
+            jnp.broadcast_to(ci, (n_lanes, 4)),
+            pr_l, prd_l, agent0_l, pobs_l,
+            backend=backend, tile=tile,
+            state_other=other,
+            agent_circle_eps=cfg.cbf_eps if camp.inter_agent_cbf else 0.0,
+        )
+        q_n = out.states[:, -1, jnp.asarray([0, 2])]
+        dq_n = out.states[:, -1, jnp.asarray([1, 3])]
+        if camp.disturbance > 0:
+            dq_n = dq_n + camp.disturbance * jax.random.normal(
+                key_d, dq_n.shape, dtype
+            )
+
+        d_obs = jnp.linalg.norm(
+            q_n[:, :, None] - pobs_l, axis=1
+        )                                                # (L, n_obs)
+        clear = jnp.min(d_obs, axis=1)
+        newly_failed = jnp.logical_and(clear < camp.fail_radius, ~failed)
+        fail_dist = jnp.where(
+            newly_failed, jnp.linalg.norm(q_n, axis=1), fail_dist
+        )
+        failed = jnp.logical_or(failed, newly_failed)
+        min_clear = jnp.minimum(min_clear, clear)
+        ok_cnt = ok_cnt + out.qp_converged.astype(jnp.int32)
+
+        new_carry = (out.carry, q_n, dq_n, failed, fail_dist, min_clear, ok_cnt)
+        return new_carry, q_n
+
+    carries0 = jax.vmap(lambda a: mpc.init_carry(a, dtype))(agent0_l)
+    init = (
+        carries0,
+        agent0_l,
+        jnp.zeros((n_lanes, 2), dtype),
+        jnp.zeros((n_lanes,), bool),
+        jnp.zeros((n_lanes,), dtype),
+        jnp.full((n_lanes,), jnp.inf, dtype),
+        jnp.zeros((n_lanes,), jnp.int32),
+    )
+    keys = jax.random.split(k_run, camp.n_domains)
+    (carries, q, dq, failed, fail_dist, min_clear, ok_cnt), traj = jax.lax.scan(
+        step, init, (contacts, keys)
+    )
+
+    def unlane(arr):
+        return arr.reshape((n_scenarios, na) + arr.shape[1:])
+
+    return CampaignResult(
+        success=unlane(~failed),
+        fail_distance=unlane(fail_dist),
+        min_clearance=unlane(min_clear),
+        final_xy=unlane(q),
+        qp_ok_frac=unlane(ok_cnt).sum(1).astype(dtype)
+        / (camp.n_domains * na),
+        traj=jnp.moveaxis(
+            traj.reshape(camp.n_domains, n_scenarios, na, 2), 0, 1
+        ),
+    )
+
+
 def run_campaign_chunked(
     cfg: MpcConfig,
     qp_cfg: QpConfig,
@@ -193,6 +306,7 @@ def run_campaign_chunked(
     key,
     n_scenarios: int,
     max_chunk: int = 512,
+    batch_backend: str | None = None,
 ) -> CampaignResult:
     """run_campaign split into <=max_chunk-scenario jitted programs.
 
@@ -201,11 +315,19 @@ def run_campaign_chunked(
     worker in this environment; 512 runs clean. Chunking is also the honest
     production shape — each chunk reuses the same compiled program, so
     steady-state throughput is unchanged.
+
+    batch_backend: when set (e.g. "fused"), chunks run through
+    run_campaign_batch with that solver backend instead of the per-agent
+    vmapped path.
     """
+    if batch_backend is None:
+        runner = run_campaign
+    else:
+        runner = lambda *a: run_campaign_batch(*a, backend=batch_backend)
     if n_scenarios <= max_chunk:
-        return run_campaign(cfg, qp_cfg, camp, ref_cfg, p_start, key, n_scenarios)
+        return runner(cfg, qp_cfg, camp, ref_cfg, p_start, key, n_scenarios)
     fn = jax.jit(
-        lambda k: run_campaign(cfg, qp_cfg, camp, ref_cfg, p_start, k, max_chunk)
+        lambda k: runner(cfg, qp_cfg, camp, ref_cfg, p_start, k, max_chunk)
     )
     n_chunks, rem = divmod(n_scenarios, max_chunk)
     if rem:

@@ -30,16 +30,26 @@ def main(n_scenarios: int = 1024, n_domains: int = 120):
     key = jax.random.key(0)
 
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-    out = {"n_scenarios": n_scenarios, "n_domains": n_domains,
-           "formulation": "condensed+elided" if on_tpu else "reference-shape"}
+    out = {"n_scenarios": n_scenarios, "n_domains": n_domains}
     for label, use_sqp in (("qp_only", False), ("cbf_sqp", True)):
+        # Per-leg formulation (measured on TPU, docs/CAMPAIGN_1024.json
+        # history): condensing+elision doubles the CBF-SQP leg (2.5k ->
+        # 5.2k domains/s) but costs the QP-only leg (13.2k -> 9.4k) —
+        # the condense/expand overhead is amortized over the SCP
+        # iterations only when the SQP stage re-solves the QP.
+        condense = on_tpu and use_sqp
         cfg = MpcConfig(use_sqp=use_sqp, sqp_iters=2,
-                        condensed=on_tpu, elide_box_rows=on_tpu)
+                        condensed=condense, elide_box_rows=condense)
+        out.setdefault("formulation", {})[label] = (
+            ("condensed+elided" if condense else "reference-shape")
+            + ("+fused" if on_tpu else "")
+        )
         # <=512-scenario programs: one 1024x120 CBF-SQP program crashes the
         # remote TPU worker (see campaign.run_campaign_chunked); the compiled
         # chunk is reused, so steady-state throughput is unaffected.
         fn = lambda k, c=cfg: campaign.run_campaign_chunked(
-            c, qp_cfg, camp, ref_cfg, p_start, k, n_scenarios, max_chunk=512
+            c, qp_cfg, camp, ref_cfg, p_start, k, n_scenarios, max_chunk=512,
+            batch_backend="fused" if on_tpu else None,
         )
         t0 = time.perf_counter()
         res = fn(key)

@@ -45,6 +45,8 @@ def run_nmpc_batch(
     tile: int = 256,
     interpret: bool = False,
     condensed: bool | None = None,
+    state_other=None,             # optional (B, 4) neighbor (x, y, dx, dy)
+    agent_circle_eps: float = 0.0,
 ) -> mpc.MpcOutput:
     if condensed is None:
         condensed = cfg.condensed
@@ -83,8 +85,17 @@ def run_nmpc_batch(
     obs_xy = jax.vmap(lambda q, p: mpc.closest_obstacle(q, p.astype(dtype))[0])(
         q_xy, pobs_real
     )
-    circles = obs_xy[:, None, :]                       # (B, 1, 2)
-    mask = jnp.ones((bsz, 1), dtype)
+    if state_other is None:
+        circles = obs_xy[:, None, :]                   # (B, 1, 2)
+        mask = jnp.ones((bsz, 1), dtype)
+    else:
+        # distributed inter-agent safety: the neighbor's broadcast position
+        # becomes a second CBF circle (mirrors mpc.run_nmpc)
+        circles = jnp.stack([obs_xy, state_other[:, :2].astype(dtype)], axis=1)
+        mask = jnp.broadcast_to(
+            jnp.asarray([1.0, 1.0 if agent_circle_eps > 0 else 0.0], dtype),
+            (bsz, 2),
+        )
 
     if cfg.use_sqp:
         vel_g, vel_h = sqp._vel_rows(cfg, dtype)

@@ -89,3 +89,57 @@ def test_chunked_campaign_matches_direct():
         np.asarray(direct[1].min_clearance),
         rtol=1e-6,
     )
+
+
+def test_batch_campaign_matches_per_agent():
+    """run_campaign_batch (the fused-path restructure) must reproduce
+    run_campaign: same wiring (agent/scenario lane layout, obstacle mapping,
+    neighbor roll), same failure accounting.
+
+    Tolerances: with an ACTIVE CBF constraint the 2-iteration SCP amplifies
+    batching-order rounding — vmapped vs unbatched runs of the *identical*
+    per-agent math already differ by ~3e-3 per domain (measured; the
+    linearization point moves, the active knot set flips). So exact
+    agreement is asserted only for the well-conditioned stand domains; the
+    rest at closed-loop tolerance. A wiring bug (swapped lanes, wrong
+    obstacles) would show as O(1) error."""
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+    qp_cfg = QpConfig()
+    camp = campaign.CampaignConfig(n_agents=2, n_domains=12)
+    ref_cfg = refplan.two_agent_config(loop_size=8_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    key = jax.random.PRNGKey(3)
+
+    ref = campaign.run_campaign(cfg, qp_cfg, camp, ref_cfg, p_start, key, 4)
+    bat = campaign.run_campaign_batch(
+        cfg, qp_cfg, camp, ref_cfg, p_start, key, 4, backend="xla"
+    )
+    np.testing.assert_array_equal(np.asarray(ref.success), np.asarray(bat.success))
+    np.testing.assert_allclose(
+        np.asarray(ref.traj[:, :2]), np.asarray(bat.traj[:, :2]), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.traj), np.asarray(bat.traj), atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.min_clearance), np.asarray(bat.min_clearance), atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.qp_ok_frac), np.asarray(bat.qp_ok_frac), atol=1e-9
+    )
+
+
+def test_batch_campaign_inter_agent_cbf_runs():
+    cfg = MpcConfig(use_sqp=True, sqp_iters=1)
+    qp_cfg = QpConfig()
+    camp = campaign.CampaignConfig(
+        n_agents=2, n_domains=8, inter_agent_cbf=True
+    )
+    ref_cfg = refplan.two_agent_config(loop_size=8_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    res = campaign.run_campaign_batch(
+        cfg, qp_cfg, camp, ref_cfg, p_start, jax.random.PRNGKey(4), 2,
+        backend="xla",
+    )
+    assert bool(jnp.isfinite(res.traj).all())
+    assert res.success.shape == (2, 2)
