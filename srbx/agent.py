@@ -70,10 +70,18 @@ def eval_com_traj(state: AgentState, phase, max_phase=1.05):
     return vals
 
 
-def tick(
+class TickCtx(NamedTuple):
+    """Context carried from tick_build to tick_finish."""
+
+    vc: lowlevel.VcOut
+    ll_ctx: lowlevel.LLCtx
+    state_pre: AgentState     # new state with prev_ddq not yet updated
+    run_mpc: jax.Array
+
+
+def tick_build(
     ll_cfg: LowLevelConfig,
     motion_cfg: MotionConfig,
-    qp_cfg: QpConfig,
     model: rbd.Model,
     gait: Gait,
     state: AgentState,
@@ -89,9 +97,12 @@ def tick(
     f_des=None,
     allow_contact_trigger: bool = True,
 ):
-    """One control tick. gait is static (trace-time); everything else traced.
+    """Everything in a control tick up to (but excluding) the LL-QP solve:
+    phase/domain logic, planning, virtual constraints, QP assembly.
 
-    Returns (ll_out, new_state, run_mpc).
+    Returns (lowlevel.LLQpData, TickCtx). tick == build -> qp.solve ->
+    tick_finish; batch callers vmap this, run ONE batched/fused solve over
+    all lanes, then vmap tick_finish (srbx.sim.closedloop batch variants).
     """
     dtype = q.dtype
     dom_ticks_gait = float(motion_cfg.trot_dom_ticks)
@@ -178,9 +189,10 @@ def tick(
     )
     if f_des is None:
         f_des = jnp.zeros((12,), dtype)
-    ll_out = lowlevel.calc_torque(ll_cfg, qp_cfg, model, q, qd, ci, vc, f_des)
+    with jax.default_matmul_precision("highest"):
+        data, ll_ctx = lowlevel.ll_qp_build(ll_cfg, model, q, qd, ci, vc, f_des)
 
-    new_state = AgentState(
+    state_pre = AgentState(
         loco_tick=loco_tick + 1.0,
         gait_domain=gait_domain,
         planner=planner,
@@ -188,6 +200,54 @@ def tick(
         mpc_alpha=state.mpc_alpha,
         mpc_states=state.mpc_states,
         mpc_available=mpc_available,
-        prev_ddq=ll_out.ddq,
+        prev_ddq=state.prev_ddq,
     )
-    return ll_out, new_state, run_mpc
+    return data, TickCtx(vc, ll_ctx, state_pre, run_mpc)
+
+
+def tick_finish(
+    ll_cfg: LowLevelConfig,
+    ctx: TickCtx,
+    q,
+    qd,
+    sol_x,
+    converged,
+):
+    """Complete a tick from the solved LL QP: torque math + state update.
+    Returns (ll_out, new_state, run_mpc)."""
+    with jax.default_matmul_precision("highest"):
+        ll_out = lowlevel.ll_qp_finish(
+            ll_cfg, ctx.ll_ctx, q, qd, ctx.vc, sol_x, converged
+        )
+    return ll_out, ctx.state_pre._replace(prev_ddq=ll_out.ddq), ctx.run_mpc
+
+
+def tick(
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    gait: Gait,
+    state: AgentState,
+    q,
+    qd,
+    foot_force,
+    force_new_domain=None,
+    force_thresh: float = 15.0,
+    f_des=None,
+    allow_contact_trigger: bool = True,
+):
+    """One control tick. gait is static (trace-time); everything else traced.
+
+    Returns (ll_out, new_state, run_mpc).
+    """
+    from srbx.ops import qp
+
+    data, ctx = tick_build(
+        ll_cfg, motion_cfg, model, gait, state, q, qd, foot_force,
+        force_new_domain=force_new_domain, force_thresh=force_thresh,
+        f_des=f_des, allow_contact_trigger=allow_contact_trigger,
+    )
+    with jax.default_matmul_precision("highest"):
+        sol = qp.solve(data.P, data.c, data.A, data.b, data.G, data.h, qp_cfg)
+    return tick_finish(ll_cfg, ctx, q, qd, sol.x, sol.converged)

@@ -221,9 +221,35 @@ def calc_torque(
         )
 
 
-def _calc_torque_impl(
+class LLQpData(NamedTuple):
+    """The LL QP operands (build stage output)."""
+
+    P: jax.Array
+    c: jax.Array
+    A: jax.Array
+    b: jax.Array
+    G: jax.Array
+    h: jax.Array
+
+
+class LLCtx(NamedTuple):
+    """Assembly context needed by the finish stage (post-QP torque math)."""
+
+    d_inv: jax.Array       # (18, 18)
+    b_mat: jax.Array       # (18, 12)
+    h_bias: jax.Array      # (18,)
+    jc_flat: jax.Array     # (12, 18) masked contact Jacobian
+    toe_jac: jax.Array     # (4, 3, 18)
+    toe_pos: jax.Array     # (4, 3)
+    con: jax.Array         # (4,)
+    v: jax.Array           # CLF terms (zeros when unused)
+    lf_v: jax.Array
+    lg_v: jax.Array
+    c_eps: jax.Array
+
+
+def ll_qp_build(
     ll_cfg: LowLevelConfig,
-    qp_cfg: QpConfig,
     model: rbd.Model,
     q,
     qd,
@@ -232,6 +258,16 @@ def _calc_torque_impl(
     f_des,
     include_coriolis: bool = False,
 ):
+    """Assemble the LL QP (the cost/constraints build of
+    `LowLevelCtrl::calcTorque`, `src/LowLevelCtrl.cpp:115-225`) without
+    solving it. Returns (LLQpData, LLCtx) so a caller can batch many lanes'
+    solves through one fused kernel (srbx.ops.qp_fused) and then apply
+    ll_qp_finish per lane. calc_torque == build -> qp.solve -> finish.
+
+    Call under jax.default_matmul_precision("highest") on TPU (see
+    calc_torque's docstring); vmapping this function preserves the context
+    of the caller.
+    """
     dtype = q.dtype
     nq = TOTAL_DOF
     d_mat = rbd.mass_matrix(model, q)
@@ -318,11 +354,39 @@ def _calc_torque_impl(
         lg_v = jnp.zeros((18,), dtype)
         c_eps = jnp.zeros((), dtype)
 
-    sol = qp.solve(p_mat, c, a_eq, b_eq, g, h, qp_cfg)
-    f_qp = sol.x[0:12] * jnp.repeat(con, 3)
-    tau = sol.x[12:24]
+    toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
+    data = LLQpData(p_mat, c, a_eq, b_eq, g, h)
+    ctx = LLCtx(d_inv, b_mat, h_bias, jc_flat, toe_jac, toe_pos, con,
+                v, lf_v, lg_v, c_eps)
+    return data, ctx
 
-    dv = lf_v + c_eps * v + lg_v @ sol.x[24:42] if use_clf else jnp.zeros((), dtype)
+
+def ll_qp_finish(
+    ll_cfg: LowLevelConfig,
+    ctx: LLCtx,
+    q,
+    qd,
+    vc: VcOut,
+    sol_x,
+    converged,
+):
+    """Post-solve torque math of `calcTorque`: parse GRF/tau, swing-leg PD
+    add-on, joint-command integration (`src/LowLevelCtrl.cpp:40-111`)."""
+    dtype = q.dtype
+    nq = TOTAL_DOF
+    con = ctx.con
+    swing = 1.0 - con
+    use_clf = 1 if ll_cfg.use_clf else 0
+    d_inv, toe_jac, jc_flat = ctx.d_inv, ctx.toe_jac, ctx.jc_flat
+
+    f_qp = sol_x[0:12] * jnp.repeat(con, 3)
+    tau = sol_x[12:24]
+
+    dv = (
+        ctx.lf_v + ctx.c_eps * ctx.v + ctx.lg_v @ sol_x[24:42]
+        if use_clf
+        else jnp.zeros((), dtype)
+    )
 
     # ------------------------- swing leg PD add-on ------------------------ #
     # (`src/LowLevelCtrl.cpp:73-93`): tau += Jsᵀ (Kp p_err + Kd v_err) with
@@ -334,7 +398,7 @@ def _calc_torque_impl(
     )  # masked rows get identity to stay invertible
     delta = jnp.linalg.inv(delta_inv)
     wd, kd_sw = 40.0, 40.0
-    toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
+    toe_pos = ctx.toe_pos
     p_err = jnp.zeros((12,), dtype)
     v_err = jnp.zeros((12,), dtype)
     for i in range(4):
@@ -350,7 +414,8 @@ def _calc_torque_impl(
 
     # --------------------- joint command integration ---------------------- #
     ddq = d_inv @ (
-        b_mat @ tau_full[6:] + jc_flat.T @ (sol.x[0:12] * jnp.repeat(con, 3)) - h_bias
+        ctx.b_mat @ tau_full[6:] + jc_flat.T @ (sol_x[0:12] * jnp.repeat(con, 3))
+        - ctx.h_bias
     )
     hz = float(ll_cfg.ctrl_hz)
     dq_next = qd + ddq / hz
@@ -364,10 +429,28 @@ def _calc_torque_impl(
         ddq=ddq,
         q_next=q_next,
         dq_next=dq_next,
-        v_lyap=v,
+        v_lyap=ctx.v,
         dv_lyap=dv,
-        qp_converged=sol.converged,
+        qp_converged=converged,
     )
+
+
+def _calc_torque_impl(
+    ll_cfg: LowLevelConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    q,
+    qd,
+    contact_ind,
+    vc: VcOut,
+    f_des,
+    include_coriolis: bool = False,
+):
+    data, ctx = ll_qp_build(
+        ll_cfg, model, q, qd, contact_ind, vc, f_des, include_coriolis
+    )
+    sol = qp.solve(data.P, data.c, data.A, data.b, data.G, data.h, qp_cfg)
+    return ll_qp_finish(ll_cfg, ctx, q, qd, vc, sol.x, sol.converged)
 
 
 N_DEC2 = 25

@@ -145,6 +145,149 @@ def run(
     )
 
 
+def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
+                forces, backend, tile, force_new_domain=None,
+                allow_contact_trigger=True):
+    """Batched control tick: vmap(tick_build) -> ONE fused/batched LL-QP
+    solve over all lanes -> vmap(tick_finish)."""
+    from srbx.ops import qp_batch
+
+    def build(st, q, qd, f):
+        return agent_mod.tick_build(
+            ll_cfg, motion_cfg, model, gait, st, q, qd, f,
+            force_new_domain=force_new_domain,
+            allow_contact_trigger=allow_contact_trigger,
+        )
+
+    data, ctx = jax.vmap(build)(states, qs, qds, forces)
+    sol = qp_batch.solve(data.P, data.c, data.A, data.b, data.G, data.h,
+                         qp_cfg, backend=backend, tile=tile)
+
+    def finish(c, q, qd, x, cv):
+        return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv)
+
+    return jax.vmap(finish)(ctx, qs, qds, sol.x, sol.converged)
+
+
+def run_batch(
+    mpc_cfg: MpcConfig,
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    sim_cfg: wb.SimConfig,
+    loop: LoopConfig,
+    model: rbd.Model,
+    pr_agent,        # (B, 2, T)
+    prd_agent,       # (B, 2, T)
+    agent_initial,   # (B, 2)
+    pobs_real,       # (B, 2, n_obs)
+    dtype=jnp.float64,
+    backend: str = "fused",
+    tile: int = 256,
+) -> LoopResult:
+    """Batched full-fidelity loop: `run` with the lane axis inside.
+
+    Mathematically the same per-lane program as vmap(run) (test-enforced at
+    the xla backend), but every 1 kHz LL-QP and every domain's NMPC runs as
+    ONE batched solve across lanes, so the fused Pallas IPM
+    (srbx.ops.qp_fused) gets the whole batch in its lane axis instead of
+    XLA batching per-lane ops."""
+    from srbx import mpc_batch
+    from srbx import motion as motion_mod
+
+    bsz = agent_initial.shape[0]
+
+    def init_one(a0):
+        q0 = wb.default_crouch(model, dtype)
+        q0 = q0.at[0:2].add(a0)
+        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+        ast = agent_mod.init(motion_cfg, model, q0, dtype)
+        ast = ast._replace(planner=ast.planner._replace(
+            stand_from=q0[0:3],
+            dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype)))
+        return sim, ast, mpc_mod.init_carry(a0, dtype)
+
+    sims, asts, mcarries = jax.vmap(init_one)(agent_initial)
+
+    def stand_tick(carry, _):
+        sims, asts = carry
+        forces = jax.vmap(
+            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+        )(sims)
+        ll_outs, asts, _ = _tick_batch(
+            ll_cfg, motion_cfg, qp_cfg, model, Gait.STAND, asts,
+            sims.q, sims.qd, forces, backend, tile,
+        )
+        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+            sims, ll_outs.tau
+        )
+        return (sims, asts), None
+
+    (sims, asts), _ = jax.lax.scan(
+        stand_tick, (sims, asts), None, length=loop.stand_ticks
+    )
+
+    def domain_step(carry, dom_idx):
+        sims, asts, mcarries, ok_cnt = carry
+        toe_xy = jax.vmap(
+            lambda s: rbd.site_positions(model, s.q)[a1.TOE_SITES][:, 0:2].T
+        )(sims)
+        contact_ind = jax.vmap(
+            lambda a: motion_mod.next_trot_domain(a.con.des).astype(dtype)
+        )(asts)
+        out = mpc_batch.run_nmpc_batch(
+            mpc_cfg, qp_cfg, mcarries, sims.q[:, 0:2], sims.qd[:, 0:2],
+            toe_xy, contact_ind, pr_agent, prd_agent, agent_initial,
+            pobs_real, backend=backend, tile=tile,
+        )
+        asts2 = jax.vmap(agent_mod.set_mpc_data)(asts, out.alpha_com, out.states)
+
+        def ll_tick(carry, k):
+            sims, asts = carry
+            forces = jax.vmap(
+                lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+            )(sims)
+            ll_outs, asts, _ = _tick_batch(
+                ll_cfg, motion_cfg, qp_cfg, model, Gait.TROT, asts,
+                sims.q, sims.qd, forces, backend, tile,
+                force_new_domain=(k == 0), allow_contact_trigger=False,
+            )
+            asts = asts._replace(
+                mpc_available=jnp.logical_or(
+                    asts.mpc_available, k >= loop.mpc_latency_ticks
+                )
+            )
+            sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+                sims, ll_outs.tau
+            )
+            return (sims, asts), (sims.q[:, 0:3], ll_outs.qp_converged,
+                                  jnp.abs(ll_outs.tau).max(axis=-1))
+
+        (sims, asts3), (com, llok, taumax) = jax.lax.scan(
+            ll_tick, (sims, asts2), jnp.arange(loop.ticks_per_domain)
+        )
+        ok_cnt = ok_cnt + out.qp_converged.astype(jnp.int32)
+        stats = jnp.stack(
+            [jnp.max(taumax, axis=0), jnp.mean(llok.astype(dtype), axis=0)],
+            axis=-1,
+        )                                              # (B, 2)
+        return (sims, asts3, out.carry, ok_cnt), (com, stats)
+
+    init_carry = (sims, asts, mcarries, jnp.zeros((bsz,), jnp.int32))
+    (sims, asts, mcarries, ok_cnt), (com_hist, stats) = jax.lax.scan(
+        domain_step, init_carry, jnp.arange(loop.n_domains)
+    )
+    # com_hist: (n_domains, ticks, B, 3) -> (B, n_domains, ticks, 3)
+    return LoopResult(
+        sim=sims,
+        agent=asts,
+        com_hist=jnp.moveaxis(com_hist, 2, 0),
+        qp_ok=jnp.mean(stats[:, :, 1], axis=0),
+        mpc_ok=ok_cnt.astype(dtype) / loop.n_domains,
+        tau_hist=jnp.moveaxis(stats, 1, 0),
+    )
+
+
 def run_team(
     mpc_cfg: MpcConfig,
     ll_cfg: LowLevelConfig,

@@ -156,3 +156,41 @@ def test_swing_inv_kin_tracks_desired_toe_velocity():
                - jrel[:, 3:6] @ qd[3:6])
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
                                    atol=1e-9)
+
+
+@pytest.mark.slow
+def test_run_batch_matches_vmapped_run():
+    """closedloop.run_batch (fused-path restructure: one batched LL-QP per
+    tick across lanes) must reproduce vmap(closedloop.run) at the xla
+    backend."""
+    traj = refplan.generate(
+        refplan.two_agent_config(loop_size=20_000),
+        jnp.asarray([0.0, 0.0, 0.0, -1.0]),
+        jnp.asarray([[100.0] * 20, [100.0] * 20]),
+    )
+    B = 2
+    loop = closedloop.LoopConfig(stand_ticks=200, n_domains=2,
+                                 ticks_per_domain=40)
+    mpc_cfg = MpcConfig(use_sqp=False)
+    pr = jnp.stack([traj.pr[0:2]] * B)
+    prd = jnp.stack([traj.prd[0:2]] * B)
+    a0 = jnp.asarray([[0.0, 0.0], [0.0, -1.0]])
+    pobs = jnp.stack([jnp.asarray([[100.0] * 20, [100.0] * 20])] * B)
+
+    ref = jax.jit(jax.vmap(lambda p, pd, a, po: closedloop.run(
+        mpc_cfg, LL, MO, QP, SIM, loop, M, p, pd, a, po)))(pr, prd, a0, pobs)
+    bat = jax.jit(lambda: closedloop.run_batch(
+        mpc_cfg, LL, MO, QP, SIM, loop, M, pr, prd, a0, pobs,
+        backend="xla"))()
+    np.testing.assert_allclose(
+        np.asarray(bat.sim.q), np.asarray(ref.sim.q), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(bat.com_hist), np.asarray(ref.com_hist), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(bat.qp_ok), np.asarray(ref.qp_ok), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(bat.mpc_ok), np.asarray(ref.mpc_ok), atol=1e-12
+    )
