@@ -65,7 +65,7 @@ def main(argv=None):
                         condensed=on_tpu, elide_box_rows=on_tpu)
         res = campaign.run_campaign_chunked(
             cfg, qp_cfg, camp, ref_cfg, p_start, key, args.sims,
-            max_chunk=512,
+            max_chunk=512, batch_backend="fused" if on_tpu else None,
         )
         summ = analysis.campaign_summary(res)
         fails = summ.pop("failing_distances")

@@ -19,6 +19,7 @@ from srbx.sim import closedloop, wholebody as wb
 
 n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch
 dtype = jnp.float32
 model = a1.model()
 
@@ -45,7 +46,18 @@ def one(pobs_s):
         loop, model, ref.pr[0:2], ref.prd[0:2], p_start[:2], pobs_s,
         dtype=dtype)
 
-fn = jax.jit(jax.vmap(one))
+if mode == "batch":
+    def fn(pobs_b):
+        refs = jax.vmap(lambda p: refplan.generate(ref_cfg, p_start, p,
+                                                   dtype=dtype))(pobs_b)
+        a0 = jnp.broadcast_to(p_start[:2], (n_scen, 2))
+        return closedloop.run_batch(
+            mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
+            loop, model, refs.pr[:, 0:2], refs.prd[:, 0:2], a0, pobs_b,
+            dtype=dtype, backend="fused", tile=256 if n_scen >= 256 else 128)
+    fn = jax.jit(fn)
+else:
+    fn = jax.jit(jax.vmap(one))
 t0 = time.perf_counter()
 res = fn(pobs)
 com = np.asarray(res.com_hist)          # (S, D, ticks, 3)

@@ -32,17 +32,16 @@ def main(n_scenarios: int = 1024, n_domains: int = 120):
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     out = {"n_scenarios": n_scenarios, "n_domains": n_domains}
     for label, use_sqp in (("qp_only", False), ("cbf_sqp", True)):
-        # Per-leg formulation (measured on TPU, docs/CAMPAIGN_1024.json
-        # history): condensing+elision doubles the CBF-SQP leg (2.5k ->
-        # 5.2k domains/s) but costs the QP-only leg (13.2k -> 9.4k) —
-        # the condense/expand overhead is amortized over the SCP
-        # iterations only when the SQP stage re-solves the QP.
-        condense = on_tpu and use_sqp
+        # Production formulation (measured, scripts/exp_campaign_fused.py at
+        # S=256 x 40 domains): batched lanes + fused kernel + condensed QP
+        # wins BOTH legs — 8.9x (QP-only) and 23x (CBF-SQP) over the
+        # per-agent vmapped path, and the condensed fused kernel compiles
+        # 25x faster than the full-shape one (22 s vs 589 s).
+        condense = on_tpu
         cfg = MpcConfig(use_sqp=use_sqp, sqp_iters=2,
                         condensed=condense, elide_box_rows=condense)
         out.setdefault("formulation", {})[label] = (
-            ("condensed+elided" if condense else "reference-shape")
-            + ("+fused" if on_tpu else "")
+            "condensed+elided+fused" if on_tpu else "reference-shape"
         )
         # <=512-scenario programs: one 1024x120 CBF-SQP program crashes the
         # remote TPU worker (see campaign.run_campaign_chunked); the compiled
