@@ -20,7 +20,7 @@ from srbx.sim import closedloop, wholebody as wb
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch
+mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
 dtype = jnp.float32
 model = a1.model()
 
@@ -41,7 +41,7 @@ def one(a0_shift):
         loop, model, ref.pr[0:2], ref.prd[0:2], a0, pobs, dtype=dtype)
 
 shifts = jnp.linspace(0.0, 0.01, B, dtype=dtype)[:, None] * jnp.asarray([1.0, 0.0], dtype)
-if mode == "batch":
+if mode.startswith("batch"):
     a0s = p_start[:2] + shifts
     prb = jnp.broadcast_to(ref.pr[0:2], (B, 2, ref.pr.shape[-1]))
     prdb = jnp.broadcast_to(ref.prd[0:2], (B, 2, ref.prd.shape[-1]))
@@ -49,7 +49,8 @@ if mode == "batch":
     fn = jax.jit(lambda s: closedloop.run_batch(
         mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
         loop, model, prb, prdb, p_start[:2] + s, pobsb, dtype=dtype,
-        backend="fused", tile=256 if B >= 256 else 128))
+        backend="fused", tile=256 if B >= 256 else 128,
+        ll_reduced=mode.endswith("-r")))
 else:
     fn = jax.jit(jax.vmap(one))
 t0 = time.perf_counter()

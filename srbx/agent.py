@@ -96,6 +96,7 @@ def tick_build(
     force_thresh: float = 15.0,
     f_des=None,
     allow_contact_trigger: bool = True,
+    reduced: bool = False,
 ):
     """Everything in a control tick up to (but excluding) the LL-QP solve:
     phase/domain logic, planning, virtual constraints, QP assembly.
@@ -103,6 +104,11 @@ def tick_build(
     Returns (lowlevel.LLQpData, TickCtx). tick == build -> qp.solve ->
     tick_finish; batch callers vmap this, run ONE batched/fused solve over
     all lanes, then vmap tick_finish (srbx.sim.closedloop batch variants).
+
+    reduced (static): assemble the aux-eliminated LL QP
+    (lowlevel.ll_qp_build_reduced, n 43->25) — same eps-optimal solutions,
+    much cheaper factorization in the fused kernel; pass the same flag to
+    tick_finish.
     """
     dtype = q.dtype
     dom_ticks_gait = float(motion_cfg.trot_dom_ticks)
@@ -189,8 +195,9 @@ def tick_build(
     )
     if f_des is None:
         f_des = jnp.zeros((12,), dtype)
+    build = lowlevel.ll_qp_build_reduced if reduced else lowlevel.ll_qp_build
     with jax.default_matmul_precision("highest"):
-        data, ll_ctx = lowlevel.ll_qp_build(ll_cfg, model, q, qd, ci, vc, f_des)
+        data, ll_ctx = build(ll_cfg, model, q, qd, ci, vc, f_des)
 
     state_pre = AgentState(
         loco_tick=loco_tick + 1.0,
@@ -212,13 +219,13 @@ def tick_finish(
     qd,
     sol_x,
     converged,
+    reduced: bool = False,
 ):
     """Complete a tick from the solved LL QP: torque math + state update.
     Returns (ll_out, new_state, run_mpc)."""
+    finish = lowlevel.ll_qp_finish_reduced if reduced else lowlevel.ll_qp_finish
     with jax.default_matmul_precision("highest"):
-        ll_out = lowlevel.ll_qp_finish(
-            ll_cfg, ctx.ll_ctx, q, qd, ctx.vc, sol_x, converged
-        )
+        ll_out = finish(ll_cfg, ctx.ll_ctx, q, qd, ctx.vc, sol_x, converged)
     return ll_out, ctx.state_pre._replace(prev_ddq=ll_out.ddq), ctx.run_mpc
 
 

@@ -493,9 +493,17 @@ def calc_torque_2(
         )
 
 
-def _calc_torque_2_impl(
+class LLCtxR(NamedTuple):
+    """Reduced-build context: primary ctx + the output map for recovering
+    the eliminated aux variables (aux = -(a_out x + c_out))."""
+
+    base: LLCtx
+    a_out: jax.Array   # (18, 24)
+    c_out: jax.Array   # (18,)
+
+
+def ll_qp_build_reduced(
     ll_cfg: LowLevelConfig,
-    qp_cfg: QpConfig,
     model: rbd.Model,
     q,
     qd,
@@ -504,6 +512,18 @@ def _calc_torque_2_impl(
     f_des,
     include_coriolis: bool = False,
 ):
+    """Reduced LL QP build: the 18 aux output-defect variables eliminated in
+    closed form through the output-dynamics equalities. Algebraically this
+    IS the reference's alternative formulation (`cost_2/constraints_2`,
+    `src/LowLevelCtrl.cpp:327-425`): substituting aux = r - A'x into the
+    primary QP's auxPen*||aux||^2 yields exactly the auxPen*||A'x + C||^2
+    soft-output cost. n 43->25, me 30->12, same eps-optimal solution set
+    (objectives agree to ~1e-7 relative; the F-direction is soft at
+    df_pen << aux_pen, so raw F can differ at the eps-optimality level).
+
+    Returns (LLQpData, LLCtxR); finish with ll_qp_finish_reduced, which
+    recovers aux and applies the PRIMARY finish (swing-leg PD included).
+    """
     dtype = q.dtype
     nq = TOTAL_DOF
     d_mat = rbd.mass_matrix(model, q)
@@ -578,27 +598,83 @@ def _calc_torque_2_impl(
     if use_clf:
         v, lf_v, lg_v, c_eps = _clf_terms(ll_cfg, vc.y, vc.dy, vc.out_mask, dtype)
         # V' = LfV + cV + LgV . (A x + C) with the relaxation var's -1 column
-        g = g.at[44, 0:24].set(lg_v @ a_out)
+        # Primary-convention CLF row: the primary path's constraint is
+        # lg_v . aux - delta <= -LfV - cV with aux = r - A'x; substituting
+        # aux = -(a_out x + c_out) gives -(lg_v a_out) x - delta <=
+        # -LfV - cV + lg_v . c_out.
+        g = g.at[44, 0:24].set(-(lg_v @ a_out))
         g = g.at[44, 24].set(-1.0)
-        h = h.at[44].set(-lf_v - c_eps * v - lg_v @ c_out)
+        h = h.at[44].set(-lf_v - c_eps * v + lg_v @ c_out)
     else:
         v = jnp.zeros((), dtype)
         lf_v = jnp.zeros((), dtype)
         lg_v = jnp.zeros((18,), dtype)
         c_eps = jnp.zeros((), dtype)
 
-    sol = qp.solve(p_mat, c, a_eq, b_eq, g, h, qp_cfg)
+    toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
+    data = LLQpData(p_mat, c, a_eq, b_eq, g, h)
+    base = LLCtx(d_inv, b_mat, h_bias, jc_flat, toe_jac, toe_pos, con,
+                 v, lf_v, lg_v, c_eps)
+    return data, LLCtxR(base, a_out, c_out)
+
+
+def expand_reduced_x(ctx: LLCtxR, sol_x):
+    """Map a reduced solution [F, tau, clf] (25,) to the primary layout
+    [F, tau, aux, clf] (43,): aux = -(a_out x + c_out)."""
+    aux = -(ctx.a_out @ sol_x[0:24] + ctx.c_out)
+    return jnp.concatenate([sol_x[0:24], aux, sol_x[24:25]])
+
+
+def ll_qp_finish_reduced(
+    ll_cfg: LowLevelConfig,
+    ctx: LLCtxR,
+    q,
+    qd,
+    vc: VcOut,
+    sol_x,
+    converged,
+):
+    """Finish a reduced-build solve with the PRIMARY post-solve math
+    (swing-leg PD add-on included)."""
+    return ll_qp_finish(
+        ll_cfg, ctx.base, q, qd, vc, expand_reduced_x(ctx, sol_x), converged
+    )
+
+
+def _calc_torque_2_impl(
+    ll_cfg: LowLevelConfig,
+    qp_cfg: QpConfig,
+    model: rbd.Model,
+    q,
+    qd,
+    contact_ind,
+    vc: VcOut,
+    f_des,
+    include_coriolis: bool = False,
+):
+    dtype = q.dtype
+    nq = TOTAL_DOF
+    data, ctx = ll_qp_build_reduced(
+        ll_cfg, model, q, qd, contact_ind, vc, f_des, include_coriolis
+    )
+    sol = qp.solve(data.P, data.c, data.A, data.b, data.G, data.h, qp_cfg)
+    con_rep = jnp.repeat(ctx.base.con, 3)
+    use_clf = 1 if ll_cfg.use_clf else 0
+
     f_qp = sol.x[0:12] * con_rep
     tau = sol.x[12:24]
 
     dv = (
-        lf_v + c_eps * v + lg_v @ (a_out @ sol.x[0:24] + c_out)
+        ctx.base.lf_v + ctx.base.c_eps * ctx.base.v
+        - ctx.base.lg_v @ (ctx.a_out @ sol.x[0:24] + ctx.c_out)
         if use_clf
         else jnp.zeros((), dtype)
     )
 
     tau_full = jnp.zeros((nq,), dtype).at[6:].set(tau)
-    ddq = d_inv @ (b_mat @ tau - h_bias + jc_flat.T @ f_qp)
+    ddq = ctx.base.d_inv @ (
+        ctx.base.b_mat @ tau - ctx.base.h_bias + ctx.base.jc_flat.T @ f_qp
+    )
     hz = float(ll_cfg.ctrl_hz)
     dq_next = qd + ddq / hz
     q_next = q + dq_next / hz + 0.5 / (hz * hz) * ddq
@@ -611,7 +687,7 @@ def _calc_torque_2_impl(
         ddq=ddq,
         q_next=q_next,
         dq_next=dq_next,
-        v_lyap=v,
+        v_lyap=ctx.base.v,
         dv_lyap=dv,
         qp_converged=sol.converged,
     )

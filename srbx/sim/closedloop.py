@@ -147,7 +147,7 @@ def run(
 
 def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
                 forces, backend, tile, force_new_domain=None,
-                allow_contact_trigger=True):
+                allow_contact_trigger=True, reduced=False):
     """Batched control tick: vmap(tick_build) -> ONE fused/batched LL-QP
     solve over all lanes -> vmap(tick_finish)."""
     from srbx.ops import qp_batch
@@ -157,6 +157,7 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
             ll_cfg, motion_cfg, model, gait, st, q, qd, f,
             force_new_domain=force_new_domain,
             allow_contact_trigger=allow_contact_trigger,
+            reduced=reduced,
         )
 
     data, ctx = jax.vmap(build)(states, qs, qds, forces)
@@ -164,7 +165,7 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
                          qp_cfg, backend=backend, tile=tile)
 
     def finish(c, q, qd, x, cv):
-        return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv)
+        return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv, reduced=reduced)
 
     return jax.vmap(finish)(ctx, qs, qds, sol.x, sol.converged)
 
@@ -184,6 +185,7 @@ def run_batch(
     dtype=jnp.float64,
     backend: str = "fused",
     tile: int = 256,
+    ll_reduced: bool = False,
 ) -> LoopResult:
     """Batched full-fidelity loop: `run` with the lane axis inside.
 
@@ -216,7 +218,7 @@ def run_batch(
         )(sims)
         ll_outs, asts, _ = _tick_batch(
             ll_cfg, motion_cfg, qp_cfg, model, Gait.STAND, asts,
-            sims.q, sims.qd, forces, backend, tile,
+            sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
         )
         sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
             sims, ll_outs.tau
@@ -251,6 +253,7 @@ def run_batch(
                 ll_cfg, motion_cfg, qp_cfg, model, Gait.TROT, asts,
                 sims.q, sims.qd, forces, backend, tile,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
+                reduced=ll_reduced,
             )
             asts = asts._replace(
                 mpc_available=jnp.logical_or(
