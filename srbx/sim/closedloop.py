@@ -186,6 +186,7 @@ def run_batch(
     backend: str = "fused",
     tile: int = 256,
     ll_reduced: bool = False,
+    ll_qp_cfg: QpConfig | None = None,
 ) -> LoopResult:
     """Batched full-fidelity loop: `run` with the lane axis inside.
 
@@ -197,6 +198,13 @@ def run_batch(
     from srbx import mpc_batch
     from srbx import motion as motion_mod
 
+    if ll_qp_cfg is None:
+        # The reduced LL QP's Hessian carries auxPen * A'^T A' (condition
+        # ~auxPen/df_pen ~ 1e7) — beyond raw f32; Ruiz equilibration
+        # restores convergence (measured: 0% -> converged at 5 sweeps).
+        import dataclasses as _dc
+        ll_qp_cfg = (_dc.replace(qp_cfg, ruiz_iters=max(qp_cfg.ruiz_iters, 5))
+                     if ll_reduced else qp_cfg)
     bsz = agent_initial.shape[0]
 
     def init_one(a0):
@@ -217,7 +225,7 @@ def run_batch(
             lambda s: wb.foot_force_measurement(sim_cfg, model, s)
         )(sims)
         ll_outs, asts, _ = _tick_batch(
-            ll_cfg, motion_cfg, qp_cfg, model, Gait.STAND, asts,
+            ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
             sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
         )
         sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
@@ -250,7 +258,7 @@ def run_batch(
                 lambda s: wb.foot_force_measurement(sim_cfg, model, s)
             )(sims)
             ll_outs, asts, _ = _tick_batch(
-                ll_cfg, motion_cfg, qp_cfg, model, Gait.TROT, asts,
+                ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
                 sims.q, sims.qd, forces, backend, tile,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
                 reduced=ll_reduced,
