@@ -19,7 +19,7 @@ from srbx.sim import closedloop, wholebody as wb
 
 n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch
+mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
 dtype = jnp.float32
 model = a1.model()
 
@@ -46,7 +46,7 @@ def one(pobs_s):
         loop, model, ref.pr[0:2], ref.prd[0:2], p_start[:2], pobs_s,
         dtype=dtype)
 
-if mode == "batch":
+if mode.startswith("batch"):
     def fn(pobs_b):
         refs = jax.vmap(lambda p: refplan.generate(ref_cfg, p_start, p,
                                                    dtype=dtype))(pobs_b)
@@ -54,7 +54,8 @@ if mode == "batch":
         return closedloop.run_batch(
             mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
             loop, model, refs.pr[:, 0:2], refs.prd[:, 0:2], a0, pobs_b,
-            dtype=dtype, backend="fused", tile=256 if n_scen >= 256 else 128)
+            dtype=dtype, backend="fused", tile=256 if n_scen >= 256 else 128,
+            ll_reduced=mode.endswith("-r"))
     fn = jax.jit(fn)
 else:
     fn = jax.jit(jax.vmap(one))

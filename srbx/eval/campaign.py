@@ -204,17 +204,35 @@ def run_campaign_batch(
     the TPU lane dimension rather than as an XLA batched-op axis. Neighbor
     exchange is a roll on the agent sub-axis of the flattened lane axis.
     """
-    from srbx import mpc_batch
-
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    na = camp.n_agents
-    n_lanes = n_scenarios * na
-    agent0 = p_start.reshape(na, 2).astype(dtype)
-
     k_obs, k_run = jax.random.split(key)
     pobs, pobs_real = sample_obstacles(
         k_obs, n_scenarios, camp.n_obstacles, camp.obstacle_uncertainty
     )
+    return _run_campaign_batch_core(
+        cfg, qp_cfg, camp, ref_cfg, p_start, pobs, pobs_real, k_run,
+        backend, tile,
+    )
+
+
+def _run_campaign_batch_core(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref_cfg: refplan.RefPlanConfig,
+    p_start,
+    pobs,          # (S, 2, n_obs) nominal fields (APF input)
+    pobs_real,     # (S, 2, n_obs) true fields (CBF + failure detection)
+    k_run,
+    backend: str,
+    tile: int,
+) -> CampaignResult:
+    from srbx import mpc_batch
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n_scenarios = pobs.shape[0]
+    na = camp.n_agents
+    n_lanes = n_scenarios * na
+    agent0 = p_start.reshape(na, 2).astype(dtype)
 
     def plan(pobs_s):
         ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=dtype)
@@ -295,6 +313,57 @@ def run_campaign_batch(
             traj.reshape(camp.n_domains, n_scenarios, na, 2), 0, 1
         ),
     )
+
+
+def run_campaign_batch_sharded(
+    cfg: MpcConfig,
+    qp_cfg: QpConfig,
+    camp: CampaignConfig,
+    ref_cfg: refplan.RefPlanConfig,
+    p_start,
+    key,
+    n_scenarios: int,
+    mesh=None,
+    backend: str = "fused",
+    tile: int = 256,
+) -> CampaignResult:
+    """run_campaign_batch with the scenario axis sharded over a device mesh
+    (the multi-host production shape: pure DP over scenarios, the fused
+    solver running per-device on its local lanes; no collectives until the
+    host-side summary)."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs, axis_names=("scen",))
+    n_dev = mesh.shape["scen"]
+    if n_scenarios % n_dev:
+        raise ValueError(f"n_scenarios={n_scenarios} not divisible by "
+                         f"{n_dev} devices")
+
+    # sample globally (same draws as the unsharded path), shard the fields;
+    # per-shard run keys (identical results to unsharded when the
+    # disturbance is off — test-enforced on the virtual mesh)
+    k_obs, k_run = jax.random.split(key)
+    pobs, pobs_real = sample_obstacles(
+        k_obs, n_scenarios, camp.n_obstacles, camp.obstacle_uncertainty
+    )
+    keys = jax.random.split(k_run, n_dev)
+
+    def local(pobs_d, pobs_real_d, k):
+        return _run_campaign_batch_core(
+            cfg, qp_cfg, camp, ref_cfg, p_start, pobs_d, pobs_real_d, k[0],
+            backend, tile,
+        )
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("scen"), P("scen"), P("scen")),
+        out_specs=P("scen"),
+        check_vma=False,
+    )
+    return sharded(pobs, pobs_real, keys)
 
 
 def run_campaign_chunked(

@@ -97,3 +97,33 @@ def test_sharded_campaign_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(sharded.success), np.asarray(plain.success)
     )
+
+
+def test_sharded_batch_campaign_matches_unsharded():
+    """run_campaign_batch_sharded (scenario DP over the 8-device virtual
+    mesh, fused-path lane structure per device) equals run_campaign_batch
+    lane for lane (disturbance off -> run keys unused)."""
+    from srbx.eval import campaign as camp_mod
+
+    cfg = MpcConfig(use_sqp=False)
+    qp_cfg = QpConfig(max_iters=8)
+    camp = camp_mod.CampaignConfig(n_agents=2, n_domains=3)
+    ref_cfg = refplan.two_agent_config(loop_size=2_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    key = jax.random.key(5)
+
+    plain = jax.jit(lambda k: camp_mod.run_campaign_batch(
+        cfg, qp_cfg, camp, ref_cfg, p_start, k, 8, backend="xla"))(key)
+    sharded = jax.jit(lambda k: camp_mod.run_campaign_batch_sharded(
+        cfg, qp_cfg, camp, ref_cfg, p_start, k, 8, backend="xla"))(key)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.min_clearance), np.asarray(plain.min_clearance),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.success), np.asarray(plain.success)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.traj), np.asarray(plain.traj), atol=1e-7
+    )
