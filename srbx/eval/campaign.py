@@ -194,6 +194,7 @@ def run_campaign_batch(
     n_scenarios: int,
     backend: str = "fused",
     tile: int = 256,
+    warm_start_qp: bool = False,
 ) -> CampaignResult:
     """run_campaign restructured for the fused-kernel solver path.
 
@@ -210,7 +211,7 @@ def run_campaign_batch(
     )
     return _run_campaign_batch_core(
         cfg, qp_cfg, camp, ref_cfg, p_start, pobs, pobs_real, k_run,
-        backend, tile,
+        backend, tile, warm_start_qp=warm_start_qp,
     )
 
 
@@ -225,6 +226,7 @@ def _run_campaign_batch_core(
     k_run,
     backend: str,
     tile: int,
+    warm_start_qp: bool = False,
 ) -> CampaignResult:
     from srbx import mpc_batch
 
@@ -246,7 +248,7 @@ def _run_campaign_batch_core(
     contacts = _contact_table(camp.n_domains, dtype)
 
     def step(carry, inp):
-        carries, q, dq, failed, fail_dist, min_clear, ok_cnt = carry
+        carries, q, dq, failed, fail_dist, min_clear, ok_cnt, x_prev = carry
         ci, key_d = inp
         other = jnp.concatenate([q, dq], axis=1).reshape(n_scenarios, na, 4)
         other = jnp.roll(other, shift=-1, axis=1).reshape(n_lanes, 4)
@@ -261,6 +263,7 @@ def _run_campaign_batch_core(
             backend=backend, tile=tile,
             state_other=other,
             agent_circle_eps=cfg.cbf_eps if camp.inter_agent_cbf else 0.0,
+            x0_warm=x_prev if warm_start_qp else None,
         )
         q_n = out.states[:, -1, jnp.asarray([0, 2])]
         dq_n = out.states[:, -1, jnp.asarray([1, 3])]
@@ -281,10 +284,17 @@ def _run_campaign_batch_core(
         min_clear = jnp.minimum(min_clear, clear)
         ok_cnt = ok_cnt + out.qp_converged.astype(jnp.int32)
 
-        new_carry = (out.carry, q_n, dq_n, failed, fail_dist, min_clear, ok_cnt)
+        new_carry = (out.carry, q_n, dq_n, failed, fail_dist, min_clear,
+                     ok_cnt, out.x)
         return new_carry, q_n
 
     carries0 = jax.vmap(lambda a: mpc.init_carry(a, dtype))(agent0_l)
+    x0s0 = jnp.stack(
+        [agent0_l[:, 0], jnp.zeros((n_lanes,), dtype),
+         agent0_l[:, 1], jnp.zeros((n_lanes,), dtype)], axis=1)
+    x_prev0 = jax.vmap(
+        lambda x0: mpc.hold_position_x(cfg, x0, jnp.ones((4,), dtype))
+    )(x0s0)
     init = (
         carries0,
         agent0_l,
@@ -293,9 +303,10 @@ def _run_campaign_batch_core(
         jnp.zeros((n_lanes,), dtype),
         jnp.full((n_lanes,), jnp.inf, dtype),
         jnp.zeros((n_lanes,), jnp.int32),
+        x_prev0,
     )
     keys = jax.random.split(k_run, camp.n_domains)
-    (carries, q, dq, failed, fail_dist, min_clear, ok_cnt), traj = jax.lax.scan(
+    (carries, q, dq, failed, fail_dist, min_clear, ok_cnt, _), traj = jax.lax.scan(
         step, init, (contacts, keys)
     )
 

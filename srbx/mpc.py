@@ -55,6 +55,8 @@ class MpcOutput(NamedTuple):
     qp_converged: jax.Array
     qp_iters: jax.Array
     cbf_margin: jax.Array      # min squared-distance margin over knots
+    x: jax.Array | None = None  # full decision vector (batch path; for
+    #                             cross-domain warm starts)
 
 
 def init_carry(agent_initial, dtype=jnp.float64) -> MpcCarry:

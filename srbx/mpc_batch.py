@@ -47,6 +47,7 @@ def run_nmpc_batch(
     condensed: bool | None = None,
     state_other=None,             # optional (B, 4) neighbor (x, y, dx, dy)
     agent_circle_eps: float = 0.0,
+    x0_warm=None,                 # optional (B, num_dec) first-QP warm start
 ) -> mpc.MpcOutput:
     if condensed is None:
         condensed = cfg.condensed
@@ -76,8 +77,15 @@ def run_nmpc_batch(
     else:
         data_s = data
 
+    if x0_warm is not None:
+        x0w = (
+            jax.vmap(lambda xx: contract(cfg, xx))(x0_warm)
+            if condensed else x0_warm
+        )
+    else:
+        x0w = None
     qp_sol = qp_batch.solve(*data_s, qp_cfg, backend=backend, tile=tile,
-                            interpret=interpret)
+                            interpret=interpret, x0=x0w)
     x = (
         jax.vmap(expand)(e_mat, e0, qp_sol.x) if condensed else qp_sol.x
     )
@@ -144,5 +152,5 @@ def run_nmpc_batch(
     )
     return mpc.MpcOutput(
         alpha_com, states, inputs, new_carry, qp_sol.converged, qp_sol.iters,
-        margin,
+        margin, x,
     )
