@@ -399,3 +399,129 @@ def run_team(
     (sims, asts, mcarries), (com_ends, margins, llok) = jax.lax.scan(
         domain_step, (sims, asts, mcarries), jnp.arange(loop.n_domains))
     return sims, com_ends, margins, llok
+
+
+def run_team_batch(
+    mpc_cfg: MpcConfig,
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    sim_cfg: wb.SimConfig,
+    loop: LoopConfig,
+    model: rbd.Model,
+    pr,              # (S, A, 2, T)
+    prd,             # (S, A, 2, T)
+    agent_initials,  # (S, A, 2)
+    pobs_real,       # (S, 2, n_obs)
+    dtype=jnp.float64,
+    backend: str = "fused",
+    tile: int = 256,
+    ll_reduced: bool = False,
+    ll_qp_cfg: QpConfig | None = None,
+):
+    """Scenario-batched multi-agent team loop: run_team with a scenario
+    axis, flattened to (S*A) solver lanes — whole-body multi-robot teams at
+    campaign scale on one chip. Neighbor broadcast (the distributed CBF
+    coupling) is a roll on the agent sub-axis of the lane axis; every
+    1 kHz LL QP and every domain's NMPC across all scenarios and agents is
+    ONE batched/fused solve.
+
+    Returns (sims, com_ends (D, S, A, 3), margins (D, S, A), llok (D, S)).
+    """
+    from srbx import mpc_batch
+    from srbx import motion as motion_mod
+
+    if ll_qp_cfg is None:
+        import dataclasses as _dc
+        ll_qp_cfg = (_dc.replace(qp_cfg, ruiz_iters=max(qp_cfg.ruiz_iters, 5))
+                     if ll_reduced else qp_cfg)
+
+    n_scen, n_agents = agent_initials.shape[0:2]
+    n_lanes = n_scen * n_agents
+    a0_l = agent_initials.reshape(n_lanes, 2).astype(dtype)
+    pr_l = pr.reshape(n_lanes, 2, -1)
+    prd_l = prd.reshape(n_lanes, 2, -1)
+    pobs_l = jnp.repeat(pobs_real.astype(dtype), n_agents, axis=0)
+
+    def init_one(a0):
+        q0 = wb.default_crouch(model, dtype)
+        q0 = q0.at[0:2].add(a0)
+        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+        ast = agent_mod.init(motion_cfg, model, q0, dtype)
+        ast = ast._replace(planner=ast.planner._replace(
+            stand_from=q0[0:3],
+            dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype)))
+        return sim, ast, mpc_mod.init_carry(a0, dtype)
+
+    sims, asts, mcarries = jax.vmap(init_one)(a0_l)
+
+    def stand_tick(carry, _):
+        sims, asts = carry
+        forces = jax.vmap(
+            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+        )(sims)
+        ll_outs, asts, _ = _tick_batch(
+            ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
+            sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
+        )
+        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+            sims, ll_outs.tau
+        )
+        return (sims, asts), None
+
+    (sims, asts), _ = jax.lax.scan(
+        stand_tick, (sims, asts), None, length=loop.stand_ticks
+    )
+
+    def domain_step(carry, dom_idx):
+        sims, asts, mcarries = carry
+        states4 = jnp.concatenate([sims.q[:, 0:2], sims.qd[:, 0:2]], axis=1)
+        others = jnp.roll(
+            states4.reshape(n_scen, n_agents, 4), shift=-1, axis=1
+        ).reshape(n_lanes, 4)
+
+        toe_xy = jax.vmap(
+            lambda s: rbd.site_positions(model, s.q)[a1.TOE_SITES][:, 0:2].T
+        )(sims)
+        contact_ind = jax.vmap(
+            lambda a: motion_mod.next_trot_domain(a.con.des).astype(dtype)
+        )(asts)
+        out = mpc_batch.run_nmpc_batch(
+            mpc_cfg, qp_cfg, mcarries, sims.q[:, 0:2], sims.qd[:, 0:2],
+            toe_xy, contact_ind, pr_l, prd_l, a0_l, pobs_l,
+            backend=backend, tile=tile,
+            state_other=others, agent_circle_eps=mpc_cfg.cbf_eps,
+        )
+        asts2 = jax.vmap(agent_mod.set_mpc_data)(asts, out.alpha_com, out.states)
+
+        def ll_tick(carry, k):
+            sims, asts = carry
+            forces = jax.vmap(
+                lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+            )(sims)
+            ll_outs, asts, _ = _tick_batch(
+                ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
+                sims.q, sims.qd, forces, backend, tile,
+                force_new_domain=(k == 0), allow_contact_trigger=False,
+                reduced=ll_reduced,
+            )
+            asts = asts._replace(mpc_available=jnp.logical_or(
+                asts.mpc_available, k >= loop.mpc_latency_ticks))
+            sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+                sims, ll_outs.tau
+            )
+            return (sims, asts), ll_outs.qp_converged
+
+        (sims, asts3), ok = jax.lax.scan(
+            ll_tick, (sims, asts2), jnp.arange(loop.ticks_per_domain)
+        )
+        com = sims.q[:, 0:3].reshape(n_scen, n_agents, 3)
+        llok = jnp.mean(ok.astype(dtype), axis=0).reshape(n_scen, n_agents)
+        return (sims, asts3, out.carry), (
+            com, out.cbf_margin.reshape(n_scen, n_agents), llok.mean(axis=1)
+        )
+
+    (sims, asts, mcarries), (com_ends, margins, llok) = jax.lax.scan(
+        domain_step, (sims, asts, mcarries), jnp.arange(loop.n_domains)
+    )
+    return sims, com_ends, margins, llok
