@@ -120,3 +120,22 @@ def test_pallas_linalg_interpret_matches_numpy():
 
     expect = np.linalg.solve(spd, rhs)
     np.testing.assert_allclose(x, expect, rtol=2e-3, atol=2e-4)
+
+
+def test_debug_mark_and_print_size(capfd):
+    import jax
+    import jax.numpy as jnp
+
+    from srbx.utils import debug
+
+    @jax.jit
+    def f(x):
+        debug.mark(jnp.sum(x))
+        return x * 2
+
+    out = f(jnp.ones(3))
+    jax.block_until_ready(out)
+    debug.print_size("ones", jnp.ones((2, 3)))
+    captured = capfd.readouterr()
+    assert "[mark]" in captured.out or "[mark]" in captured.err
+    assert "[size] ones: shape=(2, 3)" in captured.out
