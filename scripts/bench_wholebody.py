@@ -42,7 +42,6 @@ def one(a0_shift):
 
 shifts = jnp.linspace(0.0, 0.01, B, dtype=dtype)[:, None] * jnp.asarray([1.0, 0.0], dtype)
 if mode.startswith("batch"):
-    a0s = p_start[:2] + shifts
     prb = jnp.broadcast_to(ref.pr[0:2], (B, 2, ref.pr.shape[-1]))
     prdb = jnp.broadcast_to(ref.prd[0:2], (B, 2, ref.prd.shape[-1]))
     pobsb = jnp.broadcast_to(pobs, (B,) + pobs.shape)

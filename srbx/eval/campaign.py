@@ -198,12 +198,17 @@ def run_campaign_batch(
 ) -> CampaignResult:
     """run_campaign restructured for the fused-kernel solver path.
 
-    Mathematically identical to run_campaign (test-enforced), but the QP/SQP
-    solves of ALL (scenario x agent) lanes per domain run through ONE
-    batch-native solve (srbx.mpc_batch / srbx.ops.qp_fused) instead of
-    vmapping the per-agent cycle — the lane axis reaches the Pallas IPM as
-    the TPU lane dimension rather than as an XLA batched-op axis. Neighbor
-    exchange is a roll on the agent sub-axis of the flattened lane axis.
+    Mathematically identical to run_campaign (test-enforced at
+    disturbance=0), but the QP/SQP solves of ALL (scenario x agent) lanes
+    per domain run through ONE batch-native solve (srbx.mpc_batch /
+    srbx.ops.qp_fused) instead of vmapping the per-agent cycle — the lane
+    axis reaches the Pallas IPM as the TPU lane dimension rather than as an
+    XLA batched-op axis. Neighbor exchange is a roll on the agent sub-axis
+    of the flattened lane axis.
+
+    With camp.disturbance > 0 the random streams differ from run_campaign
+    (one key per domain shared across lanes here vs per-scenario key
+    trees there): statistically equivalent, not bitwise.
     """
     k_obs, k_run = jax.random.split(key)
     pobs, pobs_real = sample_obstacles(

@@ -134,10 +134,15 @@ def run_nmpc_batch(
             ok = jnp.isfinite(x_new).all(-1, keepdims=True)
             x = jnp.where(ok, x_new, x)
 
-    # per-lane hold-position elasticity (see mpc.run_nmpc)
+    # per-lane hold-position elasticity (see mpc.run_nmpc); the lambda slots
+    # use the same nominal-override stance mask the QP was assembled with
     x0s = jnp.stack([q_xy[:, 0], dq_xy[:, 0], q_xy[:, 1], dq_xy[:, 1]], axis=1)
+    ci_eff = jnp.where(
+        (carry.gait_domain <= 1)[:, None], jnp.ones_like(contact_ind),
+        contact_ind,
+    )
     holds = jax.vmap(lambda x0, cc: mpc.hold_position_x(cfg, x0, cc))(
-        x0s, contact_ind
+        x0s, ci_eff
     )
     x = jnp.where(jnp.isfinite(x).all(-1, keepdims=True), x, holds)
 

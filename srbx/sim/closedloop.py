@@ -33,6 +33,11 @@ class LoopConfig(NamedTuple):
 
 
 class LoopResult(NamedTuple):
+    """Closed-loop run result. Shapes below are for `run` (single lane);
+    `run_batch` returns the same tuple with a leading lane axis B on every
+    field: com_hist (B, n_domains, ticks, 3), qp_ok (B,), mpc_ok (B,),
+    tau_hist (B, n_domains, 2)."""
+
     sim: wb.SimState
     agent: agent_mod.AgentState
     com_hist: jax.Array       # (n_domains, ticks, 3)
@@ -170,6 +175,57 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
     return jax.vmap(finish)(ctx, qs, qds, sol.x, sol.converged)
 
 
+def _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg):
+    """Default LL solver config for the batched loops. The reduced LL QP's
+    Hessian carries auxPen * A'^T A' (condition ~auxPen/df_pen ~ 1e7) —
+    beyond raw f32; Ruiz equilibration restores convergence (measured:
+    0% -> converged at 5 sweeps)."""
+    if ll_qp_cfg is not None:
+        return ll_qp_cfg
+    import dataclasses as _dc
+    return (_dc.replace(qp_cfg, ruiz_iters=max(qp_cfg.ruiz_iters, 5))
+            if ll_reduced else qp_cfg)
+
+
+def _init_lanes(motion_cfg, loop, model, a0_l, dtype):
+    """Per-lane crouch init: sim state, agent state (stand planner armed),
+    MPC carry."""
+    def init_one(a0):
+        q0 = wb.default_crouch(model, dtype)
+        q0 = q0.at[0:2].add(a0)
+        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+        ast = agent_mod.init(motion_cfg, model, q0, dtype)
+        ast = ast._replace(planner=ast.planner._replace(
+            stand_from=q0[0:3],
+            dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype)))
+        return sim, ast, mpc_mod.init_carry(a0, dtype)
+
+    return jax.vmap(init_one)(a0_l)
+
+
+def _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model,
+                 sims, asts, backend, tile, ll_reduced):
+    """Batched stand-up scan shared by the batch loop runners."""
+    def stand_tick(carry, _):
+        sims, asts = carry
+        forces = jax.vmap(
+            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+        )(sims)
+        ll_outs, asts, _ = _tick_batch(
+            ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
+            sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
+        )
+        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+            sims, ll_outs.tau
+        )
+        return (sims, asts), None
+
+    (sims, asts), _ = jax.lax.scan(
+        stand_tick, (sims, asts), None, length=loop.stand_ticks
+    )
+    return sims, asts
+
+
 def run_batch(
     mpc_cfg: MpcConfig,
     ll_cfg: LowLevelConfig,
@@ -198,44 +254,12 @@ def run_batch(
     from srbx import mpc_batch
     from srbx import motion as motion_mod
 
-    if ll_qp_cfg is None:
-        # The reduced LL QP's Hessian carries auxPen * A'^T A' (condition
-        # ~auxPen/df_pen ~ 1e7) — beyond raw f32; Ruiz equilibration
-        # restores convergence (measured: 0% -> converged at 5 sweeps).
-        import dataclasses as _dc
-        ll_qp_cfg = (_dc.replace(qp_cfg, ruiz_iters=max(qp_cfg.ruiz_iters, 5))
-                     if ll_reduced else qp_cfg)
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     bsz = agent_initial.shape[0]
-
-    def init_one(a0):
-        q0 = wb.default_crouch(model, dtype)
-        q0 = q0.at[0:2].add(a0)
-        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
-        ast = agent_mod.init(motion_cfg, model, q0, dtype)
-        ast = ast._replace(planner=ast.planner._replace(
-            stand_from=q0[0:3],
-            dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype)))
-        return sim, ast, mpc_mod.init_carry(a0, dtype)
-
-    sims, asts, mcarries = jax.vmap(init_one)(agent_initial)
-
-    def stand_tick(carry, _):
-        sims, asts = carry
-        forces = jax.vmap(
-            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
-        )(sims)
-        ll_outs, asts, _ = _tick_batch(
-            ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
-            sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
-        )
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-            sims, ll_outs.tau
-        )
-        return (sims, asts), None
-
-    (sims, asts), _ = jax.lax.scan(
-        stand_tick, (sims, asts), None, length=loop.stand_ticks
-    )
+    sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
+                                       agent_initial, dtype)
+    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                              model, sims, asts, backend, tile, ll_reduced)
 
     def domain_step(carry, dom_idx):
         sims, asts, mcarries, ok_cnt = carry
@@ -431,11 +455,7 @@ def run_team_batch(
     from srbx import mpc_batch
     from srbx import motion as motion_mod
 
-    if ll_qp_cfg is None:
-        import dataclasses as _dc
-        ll_qp_cfg = (_dc.replace(qp_cfg, ruiz_iters=max(qp_cfg.ruiz_iters, 5))
-                     if ll_reduced else qp_cfg)
-
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     n_scen, n_agents = agent_initials.shape[0:2]
     n_lanes = n_scen * n_agents
     a0_l = agent_initials.reshape(n_lanes, 2).astype(dtype)
@@ -443,35 +463,9 @@ def run_team_batch(
     prd_l = prd.reshape(n_lanes, 2, -1)
     pobs_l = jnp.repeat(pobs_real.astype(dtype), n_agents, axis=0)
 
-    def init_one(a0):
-        q0 = wb.default_crouch(model, dtype)
-        q0 = q0.at[0:2].add(a0)
-        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
-        ast = agent_mod.init(motion_cfg, model, q0, dtype)
-        ast = ast._replace(planner=ast.planner._replace(
-            stand_from=q0[0:3],
-            dom_ticks=jnp.asarray(float(loop.stand_ticks), dtype)))
-        return sim, ast, mpc_mod.init_carry(a0, dtype)
-
-    sims, asts, mcarries = jax.vmap(init_one)(a0_l)
-
-    def stand_tick(carry, _):
-        sims, asts = carry
-        forces = jax.vmap(
-            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
-        )(sims)
-        ll_outs, asts, _ = _tick_batch(
-            ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
-            sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
-        )
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-            sims, ll_outs.tau
-        )
-        return (sims, asts), None
-
-    (sims, asts), _ = jax.lax.scan(
-        stand_tick, (sims, asts), None, length=loop.stand_ticks
-    )
+    sims, asts, mcarries = _init_lanes(motion_cfg, loop, model, a0_l, dtype)
+    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                              model, sims, asts, backend, tile, ll_reduced)
 
     def domain_step(carry, dom_idx):
         sims, asts, mcarries = carry

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from srbx import lowlevel
 from srbx.config import LowLevelConfig, MotionConfig, QpConfig
@@ -122,6 +123,7 @@ def test_reduced_build_is_exact_condensation():
             assert abs(o1 - o2) / denom < 1e-5, (o1, o2)
 
 
+@pytest.mark.slow
 def test_run_batch_reduced_closed_loop_equivalent():
     """The reduced LL build in the batched loop must control the plant the
     same way (torques on the determined directions match; only the soft

@@ -46,6 +46,7 @@ def test_two_agent_team_trots_without_collision():
     assert float(np.asarray(llok).min()) > 0.95
 
 
+@pytest.mark.slow
 def test_run_team_batch_matches_run_team():
     """Scenario-batched team loop (S=2 copies of the same scenario) matches
     the single-scenario run_team closed loop."""
