@@ -86,3 +86,53 @@ def measure(
             "efficiency": round(rate / (base_rate * nd), 3),
         }
     return out
+
+
+def measure_campaign(
+    device_counts,
+    scen_per_device: int = 64,
+    n_domains: int = 20,
+    reps: int = 2,
+):
+    """Weak-scaling throughput of the PRODUCTION campaign path
+    (campaign.run_campaign_batch_sharded: fused solves per device, scenario
+    DP across the mesh) vs device count. Same virtual-mesh caveat as
+    `measure` — run on a pod slice for real numbers."""
+    import jax
+    from jax.sharding import Mesh
+
+    from srbx.config import MpcConfig, QpConfig
+    from srbx.eval import campaign
+
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2, condensed=True,
+                    elide_box_rows=True)
+    qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
+                      reg_dual=1e-6, max_iters=12)
+    camp = campaign.CampaignConfig(n_agents=2, n_domains=n_domains)
+    ref_cfg = refplan.two_agent_config(loop_size=8_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5], jnp.float32)
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    backend = "fused" if on_tpu else "xla"
+
+    out = {}
+    base_rate = None
+    for nd in device_counts:
+        mesh = Mesh(np.asarray(jax.devices()[:nd]), axis_names=("scen",))
+        n_scen = nd * scen_per_device
+        fn = jax.jit(lambda k: campaign.run_campaign_batch_sharded(
+            cfg, qp_cfg, camp, ref_cfg, p_start, k, n_scen,
+            mesh=mesh, backend=backend))
+        key = jax.random.key(0)
+        np.asarray(fn(key).success)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn(key).success)
+        dt = (time.perf_counter() - t0) / reps
+        rate = n_scen * camp.n_agents * n_domains / dt
+        if base_rate is None:
+            base_rate = rate / nd
+        out[nd] = {
+            "domains_per_s": round(rate, 1),
+            "efficiency": round(rate / (base_rate * nd), 3),
+        }
+    return out
