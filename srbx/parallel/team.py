@@ -104,6 +104,59 @@ def team_cycle_fn(cfg: MpcConfig, qp_cfg: QpConfig, mesh: Mesh, n_agents: int):
     )
 
 
+def team_cycle_batch_fn(cfg: MpcConfig, qp_cfg: QpConfig, mesh: Mesh,
+                        n_agents: int, backend: str = "fused",
+                        tile: int = 256):
+    """team_cycle_fn with each shard's (S_loc x A_loc) lanes flattened into
+    ONE batch-native NMPC solve (srbx.mpc_batch) — the fused-kernel
+    production shape per device; the ring `ppermute` neighbor exchange is
+    unchanged. Same signature and outputs as team_cycle_fn."""
+    from srbx import mpc_batch
+
+    def local_step(dom, alpha, q, dq, ci, pr, prd, agent0, pobs):
+        s_loc, a_loc = q.shape[0:2]
+        n_lanes = s_loc * a_loc
+        other = jnp.concatenate([q, dq], axis=-1)
+        other = jax.vmap(lambda o: ring_roll(o, "agent"))(other)
+
+        def flat(x):
+            return x.reshape((n_lanes,) + x.shape[2:])
+
+        out = mpc_batch.run_nmpc_batch(
+            cfg, qp_cfg, mpc.MpcCarry(flat(dom), flat(alpha)),
+            flat(q), flat(dq),
+            jax.vmap(default_footholds)(flat(q)), flat(ci),
+            flat(pr), flat(prd), flat(agent0),
+            jnp.repeat(pobs, a_loc, axis=0),
+            backend=backend, tile=tile,
+            state_other=flat(other), agent_circle_eps=cfg.cbf_eps,
+        )
+
+        def unflat(x):
+            return x.reshape((s_loc, a_loc) + x.shape[1:])
+
+        return (
+            unflat(out.carry.gait_domain),
+            unflat(out.carry.alpha_buffer),
+            unflat(out.states[:, -1, jnp.asarray([0, 2])]),
+            unflat(out.states[:, -1, jnp.asarray([1, 3])]),
+            unflat(out.states),
+        )
+
+    spec_sa = P("scen", "agent")
+    spec_s = P("scen")
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(spec_sa, spec_sa, spec_sa, spec_sa, spec_sa, spec_sa,
+                      spec_sa, spec_sa, spec_s),
+            out_specs=(spec_sa, spec_sa, spec_sa, spec_sa, spec_sa),
+            check_vma=False,
+        )
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _noop():  # pragma: no cover
     return None

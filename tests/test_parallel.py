@@ -127,3 +127,36 @@ def test_sharded_batch_campaign_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(sharded.traj), np.asarray(plain.traj), atol=1e-7
     )
+
+
+def test_team_cycle_batch_matches_per_agent_cycle():
+    """team_cycle_batch_fn (fused-production shape per shard) matches
+    team_cycle_fn at the xla backend on the virtual mesh."""
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+    qp_cfg = QpConfig()
+    n_scen, n_agents = 4, 2
+    mesh = team.make_mesh(8, n_agent_shards=2)
+
+    ref_cfg = refplan.two_agent_config(loop_size=4_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    pobs = jnp.asarray([[5.0] * 20, [50.0] * 20])
+    ref = refplan.generate(ref_cfg, p_start, pobs)
+    pr = jnp.broadcast_to(ref.pr.reshape(2, 2, -1), (n_scen, 2, 2, ref.pr.shape[-1]))
+    prd = jnp.broadcast_to(ref.prd.reshape(2, 2, -1), (n_scen, 2, 2, ref.pr.shape[-1]))
+
+    agent0 = jnp.broadcast_to(p_start.reshape(2, 2), (n_scen, 2, 2))
+    q = agent0 + jnp.linspace(0, 0.01, n_scen)[:, None, None]
+    dq = jnp.zeros((n_scen, n_agents, 2))
+    dom = jnp.zeros((n_scen, n_agents), jnp.int32)
+    alpha = jnp.concatenate(
+        [q[..., :1], jnp.zeros_like(q[..., :1]), q[..., 1:],
+         jnp.zeros_like(q[..., :1])], axis=-1)
+    ci = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 1.0, 0.0]), (n_scen, n_agents, 4))
+    pobs_b = jnp.broadcast_to(pobs, (n_scen, 2, 20))
+
+    args = (dom, alpha, q, dq, ci, pr, prd, agent0, pobs_b)
+    ref_out = team.team_cycle_fn(cfg, qp_cfg, mesh, n_agents)(*args)
+    bat_out = team.team_cycle_batch_fn(
+        cfg, qp_cfg, mesh, n_agents, backend="xla")(*args)
+    for r, b in zip(ref_out, bat_out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(r), atol=1e-7)
