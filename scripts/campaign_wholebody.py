@@ -20,6 +20,9 @@ from srbx.sim import closedloop, wholebody as wb
 n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
+# Remote-worker program-size limit (this environment): 256 scenarios x 20
+# domains of the whole-body loop runs clean; 512 crashes the TPU worker.
+# Chunk larger campaigns into <=256-scenario programs.
 dtype = jnp.float32
 model = a1.model()
 
