@@ -143,3 +143,24 @@ def test_batch_campaign_inter_agent_cbf_runs():
     )
     assert bool(jnp.isfinite(res.traj).all())
     assert res.success.shape == (2, 2)
+
+
+def test_batch_campaign_warm_start_runs_and_agrees():
+    """warm_start_qp threads the previous domain's solution into the first
+    QP; statistics must agree with the cold path (same optima)."""
+    cfg = MpcConfig(use_sqp=False)
+    qp_cfg = QpConfig()
+    camp = campaign.CampaignConfig(n_agents=2, n_domains=8)
+    ref_cfg = refplan.two_agent_config(loop_size=8_000)
+    p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5])
+    key = jax.random.PRNGKey(9)
+
+    cold = campaign.run_campaign_batch(
+        cfg, qp_cfg, camp, ref_cfg, p_start, key, 4, backend="xla")
+    warm = campaign.run_campaign_batch(
+        cfg, qp_cfg, camp, ref_cfg, p_start, key, 4, backend="xla",
+        warm_start_qp=True)
+    np.testing.assert_array_equal(
+        np.asarray(cold.success), np.asarray(warm.success))
+    np.testing.assert_allclose(
+        np.asarray(cold.traj), np.asarray(warm.traj), atol=1e-4)
