@@ -103,6 +103,7 @@ class SharedStore:
 
     def __init__(self, lib, n_slots: int, slot_bytes: int):
         self._lib = lib
+        self._n_slots = n_slots
         self._slot_bytes = slot_bytes
         self._h = lib.srbx_store_create(n_slots, slot_bytes)
 
@@ -118,6 +119,17 @@ class SharedStore:
 
     def version(self, slot: int) -> int:
         return self._lib.srbx_store_version(self._h, slot)
+
+    def backup(self) -> list:
+        """Snapshot every slot — the reference's `backupData` copy of the
+        shared store between batch-sim runs (`include/shared_structs.hpp:
+        320-343`, restored at `src/A1_Sim_Series.cpp:527-537`)."""
+        return [self.read(i) for i in range(self._n_slots)]
+
+    def restore(self, snapshot: list):
+        """Write a `backup()` snapshot back into the store."""
+        for i, data in enumerate(snapshot):
+            self.write(i, data)
 
     def close(self):
         self._lib.srbx_store_destroy(self._h)

@@ -161,3 +161,18 @@ def test_restore_joint_command_ramp():
 
     q_cmd, _, _ = runtime.restore_joint_command(q0, 10.0)    # clamped at end
     np.testing.assert_allclose(q_cmd, np.tile(runtime.RESTORE_TARGET, 4))
+
+
+def test_shared_store_backup_restore():
+    """backupData parity: snapshot all slots, clobber, restore, verify."""
+    lib = runtime.load()
+    store = runtime.SharedStore(lib, n_slots=3, slot_bytes=16)
+    for i in range(3):
+        store.write(i, bytes([i]) * 16)
+    snap = store.backup()
+    for i in range(3):
+        store.write(i, b"\xff" * 16)
+    store.restore(snap)
+    for i in range(3):
+        assert store.read(i) == bytes([i]) * 16
+    store.close()
