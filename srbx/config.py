@@ -100,6 +100,11 @@ class MpcConfig:
     # full formulation is test-enforced. Off by default for
     # reference-shape parity.
     elide_box_rows: bool = False
+    # With `condensed`, also eliminate one lambda per knot through its
+    # sum(lambda)=1 simplex row (srbx.ocp.expansion): n 17->13, me 4->0 —
+    # the fused kernel then skips the Schur-complement stage entirely.
+    # Exact equivalence to the condensed formulation is test-enforced.
+    elide_simplex: bool = False
 
     @property
     def max_contacts(self) -> int:

