@@ -5,12 +5,14 @@ window + foothold/QP assembly + IPM solve + SQP CBF refinement + Bezier fit
 — the workload the reference performs per agent per 20 ms HL thread period
 (`driver_scripts/qp_only_exp.cpp:666-668`, `TEST.txt:14-17`).
 
-Operating point (measured on TPU v5e, scripts/bench_batch_knee.py):
-fused single-kernel Pallas IPM, condensed QP (n 41->17, me 28->4),
+Operating point (measured on TPU v5e): fused single-kernel Pallas IPM,
+condensed QP with per-knot simplex elimination (n 41->17->13, me 28->4->0),
 statically-redundant rows elided (mi 92->28: big-M boxes + implied
-lambda<=1; test-enforced equivalent), f32, B=65536 lanes. Progression:
-73k (B=4k) -> 130k (B=64k, condensed) -> 165k (+ box elision) -> 176k
-solves/s (+ lambda-upper elision).
+lambda<=1; all equivalences test-enforced), f32, B=65536 lanes.
+Progression: 73k (B=4k) -> 130k (B=64k, condensed) -> 165k (+ box elision)
+-> 176k (+ lambda-upper elision) -> 355k solves/s (+ simplex elimination:
+me=0 skips the Schur-complement stage entirely — half the kernel's
+per-iteration instruction count).
 
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;
@@ -39,7 +41,8 @@ def main():
     backend = "fused" if on_tpu else "xla"
     dtype = jnp.float32
 
-    cfg = MpcConfig(use_sqp=True, sqp_iters=2, elide_box_rows=True)
+    cfg = MpcConfig(use_sqp=True, sqp_iters=2, elide_box_rows=True,
+                    elide_simplex=True)
     qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
                       reg_dual=1e-6, max_iters=12)
 

@@ -39,9 +39,10 @@ def main(n_scenarios: int = 1024, n_domains: int = 120):
         # 25x faster than the full-shape one (22 s vs 589 s).
         condense = on_tpu
         cfg = MpcConfig(use_sqp=use_sqp, sqp_iters=2,
-                        condensed=condense, elide_box_rows=condense)
+                        condensed=condense, elide_box_rows=condense,
+                        elide_simplex=condense)
         out.setdefault("formulation", {})[label] = (
-            "condensed+elided+fused" if on_tpu else "reference-shape"
+            "condensed+simplex+elided+fused" if on_tpu else "reference-shape"
         )
         # One single jitted program for the whole leg: the worker crash that
         # forced <=512-scenario chunks was specific to the XLA solver path
