@@ -38,7 +38,7 @@ loop = closedloop.LoopConfig(stand_ticks=800, n_domains=n_domains)
 qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
                   max_iters=12)
 mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=True,
-                    elide_box_rows=True)
+                    elide_box_rows=True, elide_simplex=True)
 ref_cfg = refplan.two_agent_config(loop_size=8_000)
 p_start = jnp.asarray([0.0, 0.0, 0.0, -1.0], dtype)
 

@@ -39,7 +39,7 @@ loop = closedloop.LoopConfig(stand_ticks=800, n_domains=n_domains)
 qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
                   max_iters=12)
 mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=True,
-                    elide_box_rows=True)
+                    elide_box_rows=True, elide_simplex=True)
 agent0 = jnp.broadcast_to(p_start.reshape(na, 2), (S, na, 2))
 
 
