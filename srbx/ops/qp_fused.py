@@ -84,7 +84,14 @@ def _step_len(v, dv, big):
     return jnp.minimum(1.0, jnp.min(ratio, axis=0))
 
 
-def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
+def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
+                 noeq: bool = False):
+    """noeq=True: the caller's problem has NO equality rows (me here is a
+    1-row placeholder for buffer shapes). The kernel then skips the whole
+    Schur-complement stage — M⁻¹Aᵀ, S assembly/factorization, dy — in
+    factor(), kkt_solve(), the residuals and the convergence test. This is
+    the production path for the simplex-eliminated condensed NMPC QP
+    (cfg.elide_simplex: n=13, me=0, mi=28)."""
     big = float(jnp.finfo(dtype).max) / 4.0  # python scalar: not captured
 
     def kernel(p_ref, c_ref, a_ref, at_ref, b_ref, g_ref, h_ref, x0_ref,
@@ -116,6 +123,8 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
                 acc = acc + (w[i][None, None, :] * gi[:, None, :]) * gi[None, :, :]
             m_scr[:] = acc
             _chol_ip(m_scr, n)
+            if noeq:
+                return
             # minv_at = M⁻¹ Aᵀ
             at_scr[:] = at_ref[:]
             _cho_solve_ip(m_scr, at_scr, n)
@@ -133,6 +142,8 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
             vn_scr[:, 0, :] = r1
             _cho_solve_ip(m_scr, vn_scr, n)
             t = vn_scr[:, 0, :]
+            if noeq:
+                return t, jnp.zeros((me, t.shape[-1]), dtype)
             vm_scr[:, 0, :] = _mv(a_ref[:], t) - r2
             _cho_solve_ip(s_scr, vm_scr, me)
             dy = vm_scr[:, 0, :]
@@ -140,7 +151,10 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
             return dx, dy
 
         def residuals(x, y, s, z):
-            rx = _mv(p_ref[:], x) + c_ref[:] + _mtv(a_ref[:], y) + _mtv(g_ref[:], z)
+            rx = _mv(p_ref[:], x) + c_ref[:] + _mtv(g_ref[:], z)
+            if noeq:
+                return rx, None, _mv(g_ref[:], x) + s - h_ref[:]
+            rx = rx + _mtv(a_ref[:], y)
             ry = _mv(a_ref[:], x) - b_ref[:]
             rz = _mv(g_ref[:], x) + s - h_ref[:]
             return rx, ry, rz
@@ -149,24 +163,28 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
             dual = jnp.maximum(
                 jnp.maximum(jnp.abs(_mv(p_ref[:], x)).max(0),
                             jnp.abs(c_ref[:]).max(0)),
-                jnp.maximum(jnp.abs(_mtv(a_ref[:], y)).max(0),
-                            jnp.abs(_mtv(g_ref[:], z)).max(0)),
+                jnp.abs(_mtv(g_ref[:], z)).max(0),
             )
-            prim = jnp.maximum(
-                jnp.maximum(jnp.abs(_mv(a_ref[:], x)).max(0),
-                            jnp.abs(b_ref[:]).max(0)),
-                jnp.maximum(jnp.abs(_mv(g_ref[:], x)).max(0),
-                            jnp.abs(h_ref[:]).max(0)),
-            )
+            prim = jnp.maximum(jnp.abs(_mv(g_ref[:], x)).max(0),
+                               jnp.abs(h_ref[:]).max(0))
+            if not noeq:
+                dual = jnp.maximum(dual, jnp.abs(_mtv(a_ref[:], y)).max(0))
+                prim = jnp.maximum(
+                    prim,
+                    jnp.maximum(jnp.abs(_mv(a_ref[:], x)).max(0),
+                                jnp.abs(b_ref[:]).max(0)),
+                )
             one = jnp.ones((), dtype)
             return jnp.maximum(dual, one), jnp.maximum(prim, one)
 
         def conv_test(x, y, s, z):
             rx, ry, rz = residuals(x, y, s, z)
             dual_s, prim_s = res_scales(x, y, z)
+            prim_res = jnp.abs(rz).max(0)
+            if not noeq:
+                prim_res = jnp.maximum(jnp.abs(ry).max(0), prim_res)
             res = jnp.maximum(
-                jnp.abs(rx).max(0) / dual_s,
-                jnp.maximum(jnp.abs(ry).max(0), jnp.abs(rz).max(0)) / prim_s,
+                jnp.abs(rx).max(0) / dual_s, prim_res / prim_s,
             )
             obj = 0.5 * jnp.sum(x * _mv(p_ref[:], x), 0) + jnp.sum(c_ref[:] * x, 0)
             gap_abs = jnp.sum(s * z, 0)
@@ -211,7 +229,7 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
 
                 r_c = -s * z
                 r1 = -rx - _mtv(g_ref[:], r_c / s + w * rz)
-                dx_a, dy_a = kkt_solve(r1, -ry)
+                dx_a, dy_a = kkt_solve(r1, None if noeq else -ry)
                 ds_a = -rz - _mv(g_ref[:], dx_a)
                 dz_a = (r_c - z * ds_a) / s
 
@@ -226,7 +244,7 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
 
                 r_c2 = sigma[None, :] * mu[None, :] - s * z - ds_a * dz_a
                 r1c = -rx - _mtv(g_ref[:], r_c2 / s + w * rz)
-                dx, dy = kkt_solve(r1c, -ry)
+                dx, dy = kkt_solve(r1c, None if noeq else -ry)
                 ds = -rz - _mv(g_ref[:], dx)
                 dz = (r_c2 - z * ds) / s
 
@@ -278,10 +296,10 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tile", "interpret", "has_x0")
+    jax.jit, static_argnames=("cfg", "tile", "interpret", "has_x0", "noeq")
 )
 def _solve_ll(P, c, A, At, b, G, h, x0, cfg: QpConfig, tile: int,
-              interpret: bool, has_x0: bool):
+              interpret: bool, has_x0: bool, noeq: bool = False):
     """Lanes-last fused solve. All operands lanes-last, batch % tile == 0."""
     n = P.shape[0]
     me = A.shape[0]
@@ -298,7 +316,7 @@ def _solve_ll(P, c, A, At, b, G, h, x0, cfg: QpConfig, tile: int,
         return pl.BlockSpec((d0, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(n, me, mi, cfg, has_x0, dtype)
+    kernel = _make_kernel(n, me, mi, cfg, has_x0, dtype, noeq=noeq)
     out = pl.pallas_call(
         kernel,
         out_shape=(
@@ -349,9 +367,11 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), tile: int = DEFAULT_TILE
     bsz, n = c.shape
     me = A.shape[-2]
     mi = G.shape[-2]
-    if me == 0:
-        # one inert equality row (a=0, b=0): with the quasidefinite dual
-        # regularization the Schur system stays well-posed and dy = 0.
+    noeq = me == 0
+    if noeq:
+        # placeholder row for buffer shapes only: the kernel is specialized
+        # (noeq=True) to skip the whole Schur-complement stage — no M⁻¹Aᵀ,
+        # no S factorization, no dy — so the row is never read.
         A = jnp.zeros((bsz, 1, n), c.dtype)
         b = jnp.zeros((bsz, 1), c.dtype)
         me = 1
@@ -378,7 +398,7 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), tile: int = DEFAULT_TILE
     x0_ll = ll(x0) if has_x0 else jnp.zeros((n, bsz + pad), c.dtype)
     x, y, z, s, stat = _solve_ll(
         ll(P), ll(c), ll(A), ll(jnp.swapaxes(A, -1, -2)), ll(b), ll(G), ll(h),
-        x0_ll, cfg, tile, interpret, has_x0,
+        x0_ll, cfg, tile, interpret, has_x0, noeq=noeq,
     )
     bl = lambda arr: jnp.moveaxis(arr, -1, 0)[:bsz]
     stat = bl(stat)

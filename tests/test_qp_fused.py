@@ -55,6 +55,27 @@ def test_fused_warm_start():
                                atol=1e-4)
 
 
+def test_fused_noeq_specialization():
+    """me=0 (the simplex-eliminated production shape) runs the specialized
+    no-Schur kernel; results must match the step-fused path with genuinely
+    empty equality blocks."""
+    rng = np.random.default_rng(7)
+    B, n, mi = 6, 13, 28
+    P, c, _, _, G, h = _random_batch(rng, B, n, 1, mi)
+    A0 = jnp.zeros((B, 0, n))
+    b0 = jnp.zeros((B, 0))
+    fs = qp_fused.solve(P, c, A0, b0, G, h, QpConfig(), tile=8, interpret=True)
+    bs = qp_batch.solve(P, c, A0, b0, G, h, QpConfig())
+    assert bool(fs.converged.all())
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(bs.x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fs.z), np.asarray(bs.z), atol=1e-8)
+    # warm start through the specialized kernel too
+    ws = qp_fused.solve(P, c, A0, b0, G, h, QpConfig(), tile=8, interpret=True,
+                        x0=fs.x)
+    assert bool(ws.converged.all())
+    np.testing.assert_allclose(np.asarray(ws.x), np.asarray(fs.x), atol=1e-4)
+
+
 def test_fused_on_nmpc_problem():
     """The real padded NMPC QP shape (n=41, me=28, mi=92) incl. inert rows."""
     cfg = MpcConfig()
