@@ -179,6 +179,27 @@ class QpConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AdmmConfig:
+    """OSQP-style ADMM solver settings (srbx.ops.qp_admm) — the factor-once
+    solver family next to the IPM's QpConfig. Defaults follow OSQP's
+    published defaults where they exist.
+    """
+
+    rho: float = 0.1
+    # equality rows get a stiffer rho (OSQP scales eq rows by 1e3)
+    rho_eq_scale: float = 1e3
+    sigma: float = 1e-6
+    alpha: float = 1.6             # over-relaxation
+    max_iters: int = 400
+    check_every: int = 25          # residual test + rho update cadence
+    adapt_rho: bool = True
+    abstol: float = 1e-4
+    reltol: float = 1e-4
+    # ADMM is far more scale-sensitive than the IPM; OSQP always scales.
+    ruiz_iters: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
 class LowLevelConfig:
     """1 kHz QP torque controller (reference: `src/LowLevelCtrl.cpp:18-226`,
     param file `params/LL_w_CLF.txt` via `src/Parameters.cpp:95-133`).
