@@ -83,6 +83,13 @@ class MpcConfig:
     # CBF-NLP stage (reference: `include/dec_vars_constr_cost.h:262-317,401`).
     use_sqp: bool = True      # analogue of `use_snopt`
     sqp_iters: int = 4
+    # Merit-function line search over the SCP step (SURVEY.md §7.4): guards
+    # against full steps that worsen the true nonlinear CBF violation when
+    # the linearization is poor (tight obstacle). Off by default — the
+    # reference's SNOPT stage has its own globalization; this is the batched
+    # equivalent, and the campaign runs fine without it in nominal fields.
+    sqp_linesearch: bool = False
+    merit_mu: float = 1e4     # exact-penalty weight (>> cost scale 2e3)
     cbf_eps: float = 1.9      # squared-distance safety margin epsilon
     vel_sat: float = 0.35     # +-0.35 m/s velocity saturation
     n_obstacles: int = 20     # NUMBER_OF_OBS

@@ -128,6 +128,45 @@ def solve(
         sol = qp.solve(data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg,
                        x0=x0_s)
         x_sol = expand(e_mat, e0, sol.x) if condensed else sol.x
+        if cfg.sqp_linesearch:
+            # Merit-function line search (SURVEY.md §7.4): the subproblem's
+            # linear rows can underestimate the true (concave-in-distance)
+            # CBF constraint, so a full step may worsen the NONLINEAR
+            # violation. Evaluate the exact-penalty merit
+            #   phi(x) = f(x) + mu * sum relu(eps - g_cbf(x))
+            #          + mu * sum relu(vel violation)
+            # at a fixed candidate ladder (batched argmin — no data-dependent
+            # control flow) and take the best step; t=0 makes phi
+            # non-increasing by construction. f uses the full-space
+            # quadratic; QP equality/inequality rows are convex-feasible at
+            # both endpoints, so they don't enter the merit.
+            f_p, f_c = (
+                (full_data.P, full_data.c) if condensed else (data.P, data.c)
+            )
+            ts = jnp.asarray([1.0, 0.5, 0.25, 0.0], dtype)
+            cand = x[None, :] + ts[:, None] * (x_sol - x)[None, :]
+
+            def merit(xc):
+                f = 0.5 * xc @ (f_p @ xc) + f_c @ xc
+                marg = cbf_margins(cfg, xc, circles)
+                viol = (
+                    jnp.maximum(cfg.cbf_eps - marg, 0.0)
+                    * circle_mask[:, None]
+                ).sum()
+                vv = jnp.maximum(vel_g @ xc - vel_h, 0.0).sum()
+                return f + cfg.merit_mu * (viol + vv)
+
+            merits = jax.vmap(merit)(cand)
+            # Take the full step unless it genuinely worsens the merit vs
+            # the current iterate (ts[-1]=0); only then fall back to the
+            # ladder argmin. The slack keeps solver-tolerance noise from
+            # engaging the fallback, so in benign fields the line search is
+            # exactly inert (LS-on == LS-off, test-enforced).
+            m_full, m_cur = merits[0], merits[-1]
+            slack = 1e-6 * jnp.maximum(jnp.abs(m_cur), 1.0)
+            x_sol = jnp.where(
+                m_full <= m_cur + slack, x_sol, cand[jnp.argmin(merits)]
+            )
         # NaN-guard: keep previous iterate if the subproblem broke.
         ok = jnp.isfinite(x_sol).all()
         x_new = jnp.where(ok, x_sol, x)

@@ -245,3 +245,29 @@ def test_run_nmpc_simplex_elided_matches_condensed():
                 # the expanded solution still satisfies every simplex row
                 lam = np.asarray(os_.inputs)  # smoke: finite plan
                 assert np.isfinite(lam).all()
+
+
+def test_sqp_linesearch_holds_margins_near_tight_obstacle():
+    """Merit line search on: closed loop past a tight obstacle keeps the
+    nonlinear CBF margin and still progresses."""
+    cfg = MpcConfig(use_sqp=True, sqp_iters=4, sqp_linesearch=True)
+    traj, pobs, p_start = _setup(obstacle=(2.0, 0.35))
+    outs = _run_cycles(cfg, traj, pobs, p_start, 30)
+    margins = np.asarray([float(o.cbf_margin) for o in outs])
+    assert margins.min() >= cfg.cbf_eps - 1e-3, f"CBF violated: {margins.min()}"
+    assert float(outs[-1].states[-1, 0]) > 0.4
+    assert all(bool(jnp.isfinite(o.states).all()) for o in outs)
+
+
+def test_sqp_linesearch_inactive_when_full_steps_fine():
+    """Benign field (no nearby obstacle): the merit argmin picks the full
+    step every time, so line-search on == off exactly."""
+    cfg_on = MpcConfig(use_sqp=True, sqp_iters=3, sqp_linesearch=True)
+    cfg_off = MpcConfig(use_sqp=True, sqp_iters=3)
+    traj, pobs, p_start = _setup()
+    outs_on = _run_cycles(cfg_on, traj, pobs, p_start, 8)
+    outs_off = _run_cycles(cfg_off, traj, pobs, p_start, 8)
+    for a, b in zip(outs_on, outs_off):
+        np.testing.assert_allclose(
+            np.asarray(a.states), np.asarray(b.states), atol=1e-12
+        )
