@@ -61,9 +61,8 @@ def update(
     com_xy = state.com[0:2] + delta_com
     com_z = -jnp.sum(weighted * toes[:, 2]) / num + z_toe_offset
 
-    jac = rbd.site_jacobians(model, q)[a1.TOE_SITES]          # (4, 3, 18)
     qd_nobase = qd.at[0:3].set(0.0)
-    toe_vel = jnp.einsum("lin,n->li", jac[:, :, :], qd_nobase)
+    toe_vel = rbd.site_velocities(model, q, qd_nobase)[a1.TOE_SITES]
     com_vel = -jnp.sum(weighted[:, None] * toe_vel, axis=0) / num
 
     com = jnp.concatenate([com_xy, com_z[None]])

@@ -131,15 +131,20 @@ def site_positions(model: Model, q):
     return jnp.stack(out)
 
 
+def _com_from_frames(model: Model, rots, pos):
+    dtype = pos[0].dtype
+    out = [pos[0] + rots[0] @ jnp.asarray(model.base_com, dtype)]
+    for i, link in enumerate(model.links):
+        out.append(pos[1 + i] + rots[1 + i] @ jnp.asarray(link.com, dtype))
+        for pm_mass, pm_off in link.point_masses:
+            out.append(pos[1 + i] + rots[1 + i] @ jnp.asarray(pm_off, dtype))
+    return jnp.stack(out)
+
+
 def com_positions(model: Model, q):
     """(n_bodies, 3) world COM of the base, links, and point masses."""
     rots, pos = link_frames(model, q)
-    out = [pos[0] + rots[0] @ jnp.asarray(model.base_com, q.dtype)]
-    for i, link in enumerate(model.links):
-        out.append(pos[1 + i] + rots[1 + i] @ jnp.asarray(link.com, q.dtype))
-        for pm_mass, pm_off in link.point_masses:
-            out.append(pos[1 + i] + rots[1 + i] @ jnp.asarray(pm_off, q.dtype))
-    return jnp.stack(out)
+    return _com_from_frames(model, rots, pos)
 
 
 def _body_masses(model: Model) -> np.ndarray:
@@ -168,19 +173,109 @@ def _rot_list(model: Model, q):
     return rots
 
 
-def mass_matrix(model: Model, q):
-    """D(q) via CRBA over AD link Jacobians: D = Σ m JvᵀJv + JwᵀIJw."""
-    nq = model.nq
-    masses = jnp.asarray(_body_masses(model), q.dtype)
+def _link_ancestors(model: Model) -> np.ndarray:
+    """(n_links, n_links) bool: anc[i, j] ⇔ joint j moves link i
+    (ancestor-or-self along the tree). Static data."""
+    nl = len(model.links)
+    anc = np.zeros((nl, nl), bool)
+    for i in range(nl):
+        j = i
+        while j >= 0:
+            anc[i, j] = True
+            j = model.links[j].parent
+    return anc
 
-    jv = jax.jacfwd(lambda qq: com_positions(model, qq))(q)     # (nb, 3, nq)
+
+def _body_link_map(model: Model) -> np.ndarray:
+    """Link index carrying each mass body of com_positions' ordering
+    (base = -1, then each link followed by its point masses). Static."""
+    out = [-1]
+    for i, link in enumerate(model.links):
+        out.append(i)
+        out.extend(i for _ in link.point_masses)
+    return np.asarray(out)
+
+
+def _joint_axes_world(model: Model, rots, dtype):
+    """(n_links, 3) world joint axes (a joint's axis lives in the
+    parent-side frame and is invariant under its own rotation)."""
+    axes = []
+    for i, link in enumerate(model.links):
+        pr = rots[1 + link.parent] if link.parent >= 0 else rots[0]
+        axes.append(pr @ jnp.asarray(link.joint_axis, dtype))
+    return jnp.stack(axes)
+
+
+def _point_jacobians(model: Model, q, rots, pos, points, link_idx):
+    """Analytic positional Jacobians of world `points` (np, 3) rigidly
+    attached to links (`link_idx` static, -1 = base). Returns (np, 3, nq).
+
+    Column structure: base translation → I₃; base Euler rates → E_k × r
+    about the base origin (ω_world = E eul̇); revolute joint j (if an
+    ancestor) → a_j × (point − p_j). One FK pass + cross products — no AD.
+    """
+    dtype = q.dtype
+    npts = len(link_idx)
+    nl = len(model.links)
+    anc = _link_ancestors(model)
+    mask = np.zeros((npts, nl), bool)
+    for b, li in enumerate(np.asarray(link_idx)):
+        if li >= 0:
+            mask[b] = anc[li]
+    mask = jnp.asarray(mask, dtype)
+
+    axes = _joint_axes_world(model, rots, dtype)          # (nl, 3)
+    jpos = jnp.stack(pos[1:])                             # (nl, 3)
+    r_j = points[:, None, :] - jpos[None, :, :]           # (np, nl, 3)
+    jv_joint = jnp.cross(
+        jnp.broadcast_to(axes[None], r_j.shape), r_j
+    ) * mask[:, :, None]                                  # (np, nl, 3)
+
+    e_cols = euler_rate_matrix(q[3:6]).T                  # (3, 3) rows=cols of E
+    r_b = points - pos[0][None, :]                        # (np, 3)
+    jv_eul = jnp.cross(
+        jnp.broadcast_to(e_cols[None], (npts, 3, 3)),
+        r_b[:, None, :],
+    )                                                     # (np, 3, 3)
+
+    jv_trans = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (npts, 3, 3))
+    # columns assembled as (np, ncol, 3) then → (np, 3, nq)
+    jv = jnp.concatenate([jv_trans, jv_eul, jv_joint], axis=1)
+    return jnp.swapaxes(jv, 1, 2)
+
+
+def _link_ang_jacobians(model: Model, q, rots):
+    """(1 + n_links, 3, nq) angular-velocity Jacobians (world frame):
+    zero translation block, Euler block E for every body, joint axes under
+    the ancestor mask (base row: Euler only)."""
+    dtype = q.dtype
+    nl = len(model.links)
+    nb = 1 + nl
+    anc = np.concatenate([np.zeros((1, nl), bool), _link_ancestors(model)])
+    axes = _joint_axes_world(model, rots, dtype)          # (nl, 3)
+    jw_joint = (
+        jnp.broadcast_to(axes[None], (nb, nl, 3))
+        * jnp.asarray(anc, dtype)[:, :, None]
+    )
+    e_cols = euler_rate_matrix(q[3:6]).T
+    jw_eul = jnp.broadcast_to(e_cols[None], (nb, 3, 3))
+    jw_trans = jnp.zeros((nb, 3, 3), dtype)
+    jw = jnp.concatenate([jw_trans, jw_eul, jw_joint], axis=1)
+    return jnp.swapaxes(jw, 1, 2)
+
+
+def mass_matrix(model: Model, q):
+    """D(q) = Σ m JvᵀJv + JwᵀIJw over ANALYTIC body Jacobians (one FK pass
+    + cross-product columns; replaces jacfwd of the FK, which cost nq
+    forward passes — measured ~2x the whole physics substep)."""
+    masses = jnp.asarray(_body_masses(model), q.dtype)
+    rots, pos = link_frames(model, q)
+    cs = _com_from_frames(model, rots, pos)
+    jv = _point_jacobians(model, q, rots, pos, cs, _body_link_map(model))
     d = jnp.einsum("b,bin,bim->nm", masses, jv, jv)
 
     # angular part: base + links only (point masses carry no inertia tensor)
-    jw = jax.jacfwd(
-        lambda qdd: link_ang_velocities(model, q, qdd)
-    )(jnp.zeros((nq,), q.dtype))                                # (1+nl, 3, nq)
-    rots = _rot_list(model, q)
+    jw = _link_ang_jacobians(model, q, rots)
     inertias = [_inertia_tensor(model.base_inertia)] + [
         _inertia_tensor(l.inertia) for l in model.links
     ]
@@ -201,11 +296,32 @@ def gravity_vector(model: Model, q):
 
 
 def kinetic_energy(model: Model, q, qd):
-    return 0.5 * qd @ mass_matrix(model, q) @ qd
+    """½ q̇ᵀDq̇ computed DIRECTLY from body velocities (one jvp of the COM
+    positions + the angular-velocity recursion) — never forms D. This makes
+    the Lagrangian AD identities below cheap: every derivative of this
+    function is a derivative of an FK-scale computation, not of the CRBA."""
+    masses = jnp.asarray(_body_masses(model), q.dtype)
+    _, com_v = jax.jvp(lambda qq: com_positions(model, qq), (q,), (qd,))
+    ke = 0.5 * jnp.sum(masses * jnp.sum(com_v * com_v, axis=-1))
+    ws = link_ang_velocities(model, q, qd)
+    rots = _rot_list(model, q)
+    inertias = [_inertia_tensor(model.base_inertia)] + [
+        _inertia_tensor(l.inertia) for l in model.links
+    ]
+    for k, (r, i_body) in enumerate(zip(rots, inertias)):
+        wl = r.T @ ws[k]                       # body-frame angular velocity
+        ke = ke + 0.5 * wl @ jnp.asarray(i_body, q.dtype) @ wl
+    return ke
 
 
 def bias_forces(model: Model, q, qd, include_coriolis: bool = True):
     """H(q, q̇) = C(q,q̇)q̇ + G(q).
+
+    Lagrangian form: with momentum p(q,q̇) = ∂T/∂q̇ (= Dq̇),
+        C q̇ = ṗ|_{q̈=0} − ∂T/∂q = jvp_q(p; q̇) − ∂T/∂q,
+    all over the direct kinetic energy — O(FK)-scale AD passes instead of
+    differentiating through the CRBA mass matrix (measured ~2x whole-tick
+    physics cost before this form).
 
     The reference's RobotModel neglects Coriolis (`src/RobotModel.cpp:54-61`
     uses G only); pass include_coriolis=False for that parity mode.
@@ -213,15 +329,25 @@ def bias_forces(model: Model, q, qd, include_coriolis: bool = True):
     g = gravity_vector(model, q)
     if not include_coriolis:
         return g
-    # C q̇ = Ḋ q̇ − ½ ∂q (q̇ᵀ D q̇)
-    _, d_dot = jax.jvp(lambda qq: mass_matrix(model, qq), (q,), (qd,))
-    quad_grad = jax.grad(lambda qq: 0.5 * qd @ mass_matrix(model, qq) @ qd)(q)
-    return d_dot @ qd - quad_grad + g
+
+    def momentum(qq):
+        return jax.grad(lambda v: kinetic_energy(model, qq, v))(qd)
+
+    _, p_dot = jax.jvp(momentum, (q,), (qd,))
+    dt_dq = jax.grad(lambda qq: kinetic_energy(model, qq, qd))(q)
+    return p_dot - dt_dq + g
 
 
 def site_jacobians(model: Model, q):
-    """(n_sites, 3, nq) positional Jacobians of all sites."""
-    return jax.jacfwd(lambda qq: site_positions(model, qq))(q)
+    """(n_sites, 3, nq) positional Jacobians of all sites — analytic
+    (one FK pass; replaces the generated `J_*`)."""
+    rots, pos = link_frames(model, q)
+    pts = jnp.stack([
+        pos[1 + li] + rots[1 + li] @ jnp.asarray(off, q.dtype)
+        for _, li, off in model.sites
+    ])
+    link_idx = np.asarray([li for _, li, _ in model.sites])
+    return _point_jacobians(model, q, rots, pos, pts, link_idx)
 
 
 def site_jdot_qd(model: Model, q, qd):
@@ -231,6 +357,19 @@ def site_jdot_qd(model: Model, q, qd):
     return jnp.einsum("sin,n->si", jdot, qd)
 
 
+def site_velocities(model: Model, q, qd):
+    """(n_sites, 3) world velocities of all sites — one jvp of the FK
+    (cheaper than forming the full Jacobians when only J q̇ is needed)."""
+    return jax.jvp(lambda qq: site_positions(model, qq), (q,), (qd,))[1]
+
+
+def apply_site_forces(model: Model, q, f_sites):
+    """Σ Jᵀ f mapped through ONE vjp of the FK (a reverse pass costs one
+    evaluation; building the full (n_sites, 3, nq) Jacobians costs nq)."""
+    _, pull = jax.vjp(lambda qq: site_positions(model, qq), q)
+    return pull(f_sites)[0]
+
+
 def forward_dynamics(model: Model, q, qd, tau, f_ext_sites=None):
     """q̈ = D⁻¹(Bτ + Σ Jᵀ f_ext − H). tau: (nq,) generalized forces;
     f_ext_sites: optional (n_sites, 3) world forces applied at sites."""
@@ -238,6 +377,8 @@ def forward_dynamics(model: Model, q, qd, tau, f_ext_sites=None):
     h = bias_forces(model, q, qd)
     rhs = tau - h
     if f_ext_sites is not None:
-        js = site_jacobians(model, q)
-        rhs = rhs + jnp.einsum("sin,si->n", js, f_ext_sites)
-    return jnp.linalg.solve(d, rhs)
+        rhs = rhs + apply_site_forces(model, q, f_ext_sites)
+    # D is SPD: Cholesky beats the LU-with-pivoting of jnp.linalg.solve
+    return jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(d, lower=True), rhs
+    )

@@ -519,3 +519,152 @@ def run_team_batch(
         domain_step, (sims, asts, mcarries), jnp.arange(loop.n_domains)
     )
     return sims, com_ends, margins, llok
+
+
+class EventBatchResult(NamedTuple):
+    """run_batch_event result (all leading axis B)."""
+
+    sim: wb.SimState
+    agent: agent_mod.AgentState
+    com_hist: jax.Array       # (B, n_ticks, 3)
+    qp_ok: jax.Array          # (B,) fraction of converged LL QPs
+    domains: jax.Array        # (B,) gait domains completed (int32)
+    mpc_solves: jax.Array     # (B,) NMPC replans actually applied
+    trigger_hist: jax.Array   # (B, n_ticks) bool — replan requested
+
+
+def run_batch_event(
+    mpc_cfg: MpcConfig,
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    sim_cfg: wb.SimConfig,
+    loop: LoopConfig,
+    model: rbd.Model,
+    pr_agent,        # (B, 2, T)
+    prd_agent,       # (B, 2, T)
+    agent_initial,   # (B, 2)
+    pobs_real,       # (B, 2, n_obs)
+    n_ticks: int,
+    dtype=jnp.float64,
+    backend: str = "fused",
+    tile: int = 256,
+    ll_reduced: bool = False,
+    ll_qp_cfg: QpConfig | None = None,
+    mpc_period_ticks: int = 1,
+) -> EventBatchResult:
+    """Batched GENUINELY EVENT-DRIVEN loop: per-lane contact/phase-overrun
+    domain triggers (`src/LocoWrapper.cpp:165-200` semantics, per lane), not
+    the fixed 172 ms cadence of run_batch.
+
+    Mechanism: the scan runs over 1 kHz ticks. tick_build already computes
+    each lane's trigger (`run_mpc`); the NMPC is evaluated for ALL lanes at
+    the HL cadence (`mpc_period_ticks`; 1 = every tick, 20 = the reference's
+    20 ms HL thread) under a lax.cond, and its output is APPLIED only to
+    lanes whose trigger latched since the last HL poll — the batched,
+    fixed-shape realization of event-driven replanning. The fused QP solve
+    is so much cheaper than the whole-body tick that the discarded lanes
+    cost a few percent. Between a lane's trigger and its solution delivery
+    (`loop.mpc_latency_ticks` later), the LL runs on the stale-Bezier
+    fallback, exactly the reference's real-time elasticity.
+    """
+    from srbx import mpc_batch
+
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
+    bsz = agent_initial.shape[0]
+    sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
+                                       agent_initial, dtype)
+    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                              model, sims, asts, backend, tile, ll_reduced)
+
+    latency = jnp.asarray(loop.mpc_latency_ticks, jnp.int32)
+
+    def hl_poll(args):
+        """One HL invocation: batched NMPC for all lanes; masked apply."""
+        (sims, asts, mcarries, pend_alpha, pend_states, countdown,
+         n_solves, req) = args
+        toe_xy = jax.vmap(
+            lambda s: rbd.site_positions(model, s.q)[a1.TOE_SITES][:, 0:2].T
+        )(sims)
+        # the triggering tick already advanced con.des to the NEW domain
+        contact_ind = asts.con.des.astype(dtype)
+        out = mpc_batch.run_nmpc_batch(
+            mpc_cfg, qp_cfg, mcarries, sims.q[:, 0:2], sims.qd[:, 0:2],
+            toe_xy, contact_ind, pr_agent, prd_agent, agent_initial,
+            pobs_real, backend=backend, tile=tile,
+        )
+        m = req
+        mcarries = jax.tree.map(
+            lambda n, o: jnp.where(
+                m.reshape((bsz,) + (1,) * (n.ndim - 1)), n, o
+            ),
+            out.carry, mcarries,
+        )
+        pend_alpha = jnp.where(m[:, None, None], out.alpha_com, pend_alpha)
+        pend_states = jnp.where(m[:, None, None], out.states, pend_states)
+        countdown = jnp.where(m, latency, countdown)
+        n_solves = n_solves + m.astype(jnp.int32)
+        req = jnp.zeros_like(req)
+        return (sims, asts, mcarries, pend_alpha, pend_states, countdown,
+                n_solves, req)
+
+    def tick_step(carry, k):
+        (sims, asts, mcarries, pend_alpha, pend_states, countdown,
+         n_solves, req) = carry
+        forces = jax.vmap(
+            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+        )(sims)
+        ll_outs, asts, run_mpc = _tick_batch(
+            ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
+            sims.q, sims.qd, forces, backend, tile,
+            force_new_domain=(k == 0), allow_contact_trigger=True,
+            reduced=ll_reduced,
+        )
+        req = jnp.logical_or(req, run_mpc)
+
+        state = (sims, asts, mcarries, pend_alpha, pend_states, countdown,
+                 n_solves, req)
+        state = jax.lax.cond(
+            jnp.logical_and(k % mpc_period_ticks == 0, req.any()),
+            hl_poll, lambda a: a, state,
+        )
+        (sims, asts, mcarries, pend_alpha, pend_states, countdown,
+         n_solves, req) = state
+
+        # delivery: countdown reaches 0 -> the lane gets its fresh solution
+        deliver = countdown == 0
+        asts = asts._replace(
+            mpc_alpha=jnp.where(deliver[:, None, None], pend_alpha,
+                                asts.mpc_alpha),
+            mpc_states=jnp.where(deliver[:, None, None], pend_states,
+                                 asts.mpc_states),
+            mpc_available=jnp.logical_or(asts.mpc_available, deliver),
+        )
+        countdown = jnp.where(countdown >= 0, countdown - 1, countdown)
+
+        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+            sims, ll_outs.tau
+        )
+        carry = (sims, asts, mcarries, pend_alpha, pend_states, countdown,
+                 n_solves, req)
+        return carry, (sims.q[:, 0:3], ll_outs.qp_converged, run_mpc)
+
+    init = (
+        sims, asts, mcarries,
+        jnp.zeros((bsz, 4, 5), dtype), jnp.zeros((bsz, 4, 4), dtype),
+        jnp.full((bsz,), -1, jnp.int32), jnp.zeros((bsz,), jnp.int32),
+        jnp.zeros((bsz,), bool),
+    )
+    carry, (com, llok, trig) = jax.lax.scan(
+        tick_step, init, jnp.arange(n_ticks)
+    )
+    sims, asts, mcarries, _, _, _, n_solves, _ = carry
+    return EventBatchResult(
+        sim=sims,
+        agent=asts,
+        com_hist=jnp.moveaxis(com, 1, 0),
+        qp_ok=jnp.mean(llok.astype(dtype), axis=0),
+        domains=asts.gait_domain,
+        mpc_solves=n_solves,
+        trigger_hist=jnp.moveaxis(trig, 1, 0),
+    )

@@ -47,9 +47,10 @@ def pack_from_wholebody(model: rbd.Model, q, qd):
 def torques_from_forces(model: rbd.Model, q, forces, contact_ind,
                         q_ref_joints, qd, kp: float = 25.0, kd: float = 1.0):
     """tau (12,) = -J_leg^T f per stance leg + PD toward q_ref for swing."""
-    jac = rbd.site_jacobians(model, q)[a1.TOE_SITES]        # (4, 3, 18)
-    tau_full = -jnp.einsum("lin,li->n", jac * contact_ind[:, None, None],
-                           forces)
+    f_sites = jnp.zeros((len(model.sites), 3), q.dtype).at[a1.TOE_SITES].set(
+        forces * contact_ind[:, None]
+    )
+    tau_full = -rbd.apply_site_forces(model, q, f_sites)
     tau = tau_full[6:]
     swing = 1.0 - contact_ind
     swing_j = jnp.repeat(swing, 3)

@@ -44,8 +44,7 @@ class SimState(NamedTuple):
 def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd):
     """(4, 3) world ground-reaction forces at the toe sites."""
     toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
-    toe_jac = rbd.site_jacobians(model, q)[a1.TOE_SITES]
-    toe_vel = jnp.einsum("lin,n->li", toe_jac, qd)
+    toe_vel = rbd.site_velocities(model, q, qd)[a1.TOE_SITES]
 
     pen = -toe_pos[:, 2]
     active = pen > 0.0
@@ -82,7 +81,8 @@ def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints,
         q2 = q + dt * qd2
         return (q2, qd2), None
 
-    (q, qd), _ = jax.lax.scan(sub, (state.q, state.qd), None, length=cfg.substeps)
+    (q, qd), _ = jax.lax.scan(sub, (state.q, state.qd), None,
+                              length=cfg.substeps, unroll=True)
     return SimState(q, qd)
 
 

@@ -152,3 +152,38 @@ def test_jit_and_batch():
     db = jax.vmap(lambda qq: rbd.mass_matrix(MODEL, qq))(qs)
     assert db.shape == (3, 18, 18)
     np.testing.assert_allclose(np.asarray(db[0]), np.asarray(d1), atol=1e-12)
+
+
+def test_energy_direct_bias_matches_crba_form():
+    """bias_forces (Lagrangian energy-direct form) == the CRBA-differentiated
+    identity C q̇ = Ḋq̇ − ½∂q(q̇ᵀDq̇), and KE == ½ q̇ᵀDq̇."""
+    model = a1.model()
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=18) * 0.3)
+    qd = jnp.asarray(rng.normal(size=18))
+
+    ke = rbd.kinetic_energy(model, q, qd)
+    d = rbd.mass_matrix(model, q)
+    np.testing.assert_allclose(float(ke), float(0.5 * qd @ d @ qd),
+                               rtol=1e-12)
+
+    h = rbd.bias_forces(model, q, qd)
+    _, d_dot = jax.jvp(lambda qq: rbd.mass_matrix(model, qq), (q,), (qd,))
+    quad = jax.grad(lambda qq: 0.5 * qd @ rbd.mass_matrix(model, qq) @ qd)(q)
+    h_ref = d_dot @ qd - quad + rbd.gravity_vector(model, q)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-9)
+
+
+def test_site_velocity_and_force_mapping_match_jacobians():
+    model = a1.model()
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=18) * 0.3)
+    qd = jnp.asarray(rng.normal(size=18))
+    js = rbd.site_jacobians(model, q)
+    np.testing.assert_allclose(
+        np.asarray(rbd.site_velocities(model, q, qd)),
+        np.asarray(jnp.einsum("sin,n->si", js, qd)), atol=1e-12)
+    f = jnp.asarray(rng.normal(size=(js.shape[0], 3)))
+    np.testing.assert_allclose(
+        np.asarray(rbd.apply_site_forces(model, q, f)),
+        np.asarray(jnp.einsum("sin,si->n", js, f)), atol=1e-12)
