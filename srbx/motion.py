@@ -126,8 +126,10 @@ def plan_trot(
     vx = jnp.mean(mpc_states[:, 1])
     vy = jnp.mean(mpc_states[:, 3])
     dom_sec = dom_ticks / 1000.0
-    kx = 0.1 * np.sqrt(0.28 / 9.81)
-    ky = 0.05 * np.sqrt(0.28 / 9.81)
+    # python floats (not np scalars): weakly typed, so f32 lanes stay f32
+    # even when the host has x64 enabled
+    kx = float(0.1 * np.sqrt(0.28 / 9.81))
+    ky = float(0.05 * np.sqrt(0.28 / 9.81))
     step = jnp.stack(
         [
             vx * dom_sec / 2.0 + kx * (qd_xy[0] - vx),

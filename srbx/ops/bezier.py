@@ -34,7 +34,12 @@ def _powers(base, count: int):
 
 def _bernstein_basis(degree: int, s):
     """Bernstein basis [C(M,j) s^j (1-s)^(M-j)]_{j=0..M}; s broadcasts."""
-    s = jnp.asarray(s, dtype=jnp.result_type(float))[..., None]
+    s = jnp.asarray(s)
+    if not jnp.issubdtype(s.dtype, jnp.floating):
+        # non-float (int phase counters): promote to the default float;
+        # float inputs keep their dtype so f32 lanes stay f32 under x64
+        s = s.astype(jnp.result_type(float))
+    s = s[..., None]
     coef = jnp.asarray(
         [math.comb(degree, int(k)) for k in range(degree + 1)], dtype=s.dtype
     )
