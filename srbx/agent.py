@@ -115,7 +115,9 @@ def tick_build(
     if force_new_domain is None:
         force_new_domain = jnp.asarray(False)
 
-    if gait == Gait.STAND:
+    if gait in (Gait.STAND, Gait.WALK, Gait.PACE):
+        # stand + velocity gaits carry their domain length in the planner
+        # (stand: timeToStand; walk/pace: 0.2 s / 0.1 s set on domain change)
         phase = state.loco_tick / state.planner.dom_ticks
     else:
         phase = state.loco_tick / dom_ticks_gait
@@ -155,6 +157,36 @@ def tick_build(
             toe_final=toe_pos.T,
         )
         con = contact.set_des_domain(con, jnp.ones((4,), jnp.int32))
+    elif gait in (Gait.WALK, Gait.PACE):
+        # velocity-commanded gaits: no MPC — COM reference integrates the
+        # ramped desired velocity (`MotionPlanner::updateVel` + the
+        # standalone comDes update, `src/MotionPlanner.cpp:188-226,269-305`)
+        from srbx.utils import transforms as tf
+
+        rot = tf.rot_xyz(q[3:6])
+        planner = motion.com_des_from_velocity(
+            planner, q[0:2], rot, motion_cfg.stand_height
+        )
+        com_f = qd[0:3]
+        if gait == Gait.WALK:
+            planner = motion.plan_walk(
+                motion_cfg, planner, change, toe_pos, com_f, rot,
+                motion_cfg.fwd_speed, motion_cfg.lat_speed,
+            )
+        else:
+            planner = motion.plan_pace(
+                motion_cfg, planner, change, con.des, toe_pos, com_f, rot,
+                motion_cfg.fwd_speed, motion_cfg.lat_speed,
+            )
+        con = jax.lax.cond(
+            change,
+            lambda c: contact.set_des_domain(c, planner.des_domain),
+            lambda c: c,
+            con,
+        )
+        planner = motion.update_toe_final(
+            planner, change, con.ind, con.ind_prev, toe_pos
+        )
     else:
         com_vals = eval_com_traj(
             state._replace(mpc_available=mpc_available), phase, motion_cfg.max_phase
@@ -184,7 +216,8 @@ def tick_build(
         com_des=planner.com_des,
         toe_init=planner.toe_init,
         step_len=planner.step_len,
-        dom_ticks=planner.dom_ticks if gait == Gait.STAND
+        dom_ticks=planner.dom_ticks
+        if gait in (Gait.STAND, Gait.WALK, Gait.PACE)
         else jnp.asarray(dom_ticks_gait, dtype),
         toe_offset_z=jnp.asarray(motion_cfg.toe_offset_z, dtype),
     )

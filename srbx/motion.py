@@ -183,12 +183,20 @@ def plan_walk(motion: MotionConfig, state: PlannerState, change_domain, toe_pos,
 
 def plan_pace(motion: MotionConfig, state: PlannerState, change_domain, prev_des,
               toe_pos, com_filtered, rot, fwd_speed=0.0, lat_speed=0.0):
-    """PACE domain update (`src/MotionPlanner.cpp:269-305`)."""
+    """PACE domain update (`src/MotionPlanner.cpp:269-305`; it calls
+    `updateVel` on domain change just like WALK)."""
     dtype = state.com_des.dtype
     dom_sec = 0.1
     new_des = jnp.where(prev_des[0] == 1, jnp.asarray(_PACE_A), jnp.asarray(_PACE_B))
-    kp = jnp.asarray([0.04, 0.02, 0.0], dtype)
+    rate = 0.01
     des_vel = state.des_vel
+    des_vel = des_vel.at[0].add(
+        jnp.where(jnp.abs(des_vel[0]) < jnp.abs(fwd_speed), rate * jnp.sign(fwd_speed), 0.0)
+    )
+    des_vel = des_vel.at[1].add(
+        jnp.where(jnp.abs(des_vel[1]) < jnp.abs(lat_speed), rate * jnp.sign(lat_speed), 0.0)
+    )
+    kp = jnp.asarray([0.04, 0.02, 0.0], dtype)
     step_body = kp * (rot.T @ com_filtered - des_vel) + dom_sec * (rot.T @ des_vel) / 2.0
     step = rot @ step_body
     return state._replace(
@@ -196,6 +204,7 @@ def plan_pace(motion: MotionConfig, state: PlannerState, change_domain, prev_des
         step_len=jnp.where(change_domain, step, state.step_len),
         dom_ticks=jnp.where(change_domain, jnp.asarray(dom_sec * 1000.0, dtype), state.dom_ticks),
         des_domain=jnp.where(change_domain, new_des, state.des_domain),
+        des_vel=jnp.where(change_domain, des_vel, state.des_vel),
         cycle_idx=jnp.where(change_domain, state.cycle_idx + 1, state.cycle_idx),
     )
 
@@ -268,6 +277,22 @@ def pose_com(motion: MotionConfig, pose_type: int, t, t_init, com_lock):
         com = com.at[idx].add(mag * jnp.sin(freq * tt))
         com = com.at[idx + 3].add(mag * freq * jnp.cos(freq * tt))
     return com
+
+
+def com_des_from_velocity(state: PlannerState, q_xy, rot, stand_height,
+                          dt: float = 1e-3):
+    """Velocity-command COM reference for the standalone WALK/PACE gaits:
+    comDes = q + R·desVel·dt at fixed stand height with desVel as the
+    velocity reference (`src/MotionPlanner.cpp:222-226` — the snapshot
+    carries this update commented out because its experiments drive COM
+    from the MPC Bezier; it is the documented intent for MPC-less gaits)."""
+    vel_w = rot @ state.des_vel
+    com = state.com_des
+    com = com.at[0].set(q_xy[0] + vel_w[0] * dt)
+    com = com.at[1].set(q_xy[1] + vel_w[1] * dt)
+    com = com.at[2].set(stand_height)
+    com = com.at[3:6].set(vel_w)
+    return state._replace(com_des=com)
 
 
 def update_toe_final(state: PlannerState, change_domain, ind, ind_prev, toe_pos):

@@ -668,3 +668,67 @@ def run_batch_event(
         mpc_solves=n_solves,
         trigger_hist=jnp.moveaxis(trig, 1, 0),
     )
+
+
+class VelocityGaitResult(NamedTuple):
+    sim: wb.SimState
+    agent: agent_mod.AgentState
+    com_hist: jax.Array       # (B, n_ticks, 3)
+    qp_ok: jax.Array          # (B,)
+    domains: jax.Array        # (B,)
+
+
+def run_velocity_gait(
+    gait: Gait,
+    ll_cfg: LowLevelConfig,
+    motion_cfg: MotionConfig,
+    qp_cfg: QpConfig,
+    sim_cfg: wb.SimConfig,
+    loop: LoopConfig,
+    model: rbd.Model,
+    agent_initial,   # (B, 2)
+    n_ticks: int,
+    dtype=jnp.float64,
+    backend: str = "fused",
+    tile: int = 256,
+    ll_reduced: bool = False,
+    ll_qp_cfg: QpConfig | None = None,
+) -> VelocityGaitResult:
+    """Batched MPC-less velocity-commanded gait (WALK / PACE): stand-up,
+    then per-lane contact/phase-triggered domains under the gait's own
+    Raibert stepping with the ramped `motion_cfg.fwd_speed`/`lat_speed`
+    command — the reference's `MotionPlanner` WALK/PACE modes
+    (`src/MotionPlanner.cpp:188-226,269-305`) closed through the full
+    18-DoF plant."""
+    assert gait in (Gait.WALK, Gait.PACE)
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
+    sims, asts, _ = _init_lanes(motion_cfg, loop, model, agent_initial, dtype)
+    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                              model, sims, asts, backend, tile, ll_reduced)
+
+    def tick(carry, k):
+        sims, asts = carry
+        forces = jax.vmap(
+            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
+        )(sims)
+        ll_outs, asts, _ = _tick_batch(
+            ll_cfg, motion_cfg, ll_qp_cfg, model, gait, asts,
+            sims.q, sims.qd, forces, backend, tile,
+            force_new_domain=(k == 0), allow_contact_trigger=True,
+            reduced=ll_reduced,
+        )
+        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
+            sims, ll_outs.tau
+        )
+        return (sims, asts), (sims.q[:, 0:3], ll_outs.qp_converged)
+
+    (sims, asts), (com, llok) = jax.lax.scan(
+        tick, (sims, asts), jnp.arange(n_ticks)
+    )
+    return VelocityGaitResult(
+        sim=sims,
+        agent=asts,
+        com_hist=jnp.moveaxis(com, 1, 0),
+        qp_ok=jnp.mean(llok.astype(dtype), axis=0),
+        domains=asts.gait_domain,
+    )

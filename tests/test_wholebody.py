@@ -194,3 +194,41 @@ def test_run_batch_matches_vmapped_run():
     np.testing.assert_allclose(
         np.asarray(bat.mpc_ok), np.asarray(ref.mpc_ok), atol=1e-12
     )
+
+
+@pytest.mark.slow
+def test_velocity_gait_walk_and_pace():
+    """MPC-less velocity-commanded gaits through the full plant
+    (`MotionPlanner` WALK/PACE modes): WALK advances with the ramped
+    forward command at held height; PACE cycles stably (the reference's
+    standalone PACE position reference is commented out — parity is
+    stability + convergence, not tracking)."""
+    import dataclasses
+
+    cl = closedloop
+
+    dtype = jnp.float64
+    model = a1.model()
+    B = 2
+    loop = cl.LoopConfig(stand_ticks=400)
+    qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
+                      reg_dual=1e-6, max_iters=12)
+    mo = dataclasses.replace(MotionConfig(), fwd_speed=0.15)
+    a0 = jnp.zeros((B, 2), dtype)
+
+    walk = jax.jit(lambda s: cl.run_velocity_gait(
+        Gait.WALK, LowLevelConfig(), mo, qp_cfg, wb.SimConfig(), loop,
+        model, s, n_ticks=2000, dtype=dtype, backend="xla",
+        ll_reduced=True))(a0)
+    assert int(walk.domains.min()) >= 8          # 0.2 s walk domains cycled
+    assert float(walk.qp_ok.min()) > 0.95
+    assert float(np.asarray(walk.com_hist)[:, :, 2].min()) > 0.25
+    assert float(np.asarray(walk.sim.q)[:, 0].min()) > 0.05  # walked forward
+
+    pace = jax.jit(lambda s: cl.run_velocity_gait(
+        Gait.PACE, LowLevelConfig(), mo, qp_cfg, wb.SimConfig(), loop,
+        model, s, n_ticks=1200, dtype=dtype, backend="xla",
+        ll_reduced=True))(a0)
+    assert int(pace.domains.min()) >= 8          # 0.1 s pace domains cycled
+    assert float(pace.qp_ok.min()) > 0.9
+    assert float(np.asarray(pace.com_hist)[:, :, 2].min()) > 0.25
