@@ -115,21 +115,25 @@ def tick_build(
     if force_new_domain is None:
         force_new_domain = jnp.asarray(False)
 
-    if gait in (Gait.STAND, Gait.WALK, Gait.PACE):
-        # stand + velocity gaits carry their domain length in the planner
-        # (stand: timeToStand; walk/pace: 0.2 s / 0.1 s set on domain change)
-        phase = state.loco_tick / state.planner.dom_ticks
-    else:
+    if gait == Gait.TROT:
         phase = state.loco_tick / dom_ticks_gait
+    else:
+        # every other gait carries its domain length in the planner (stand:
+        # timeToStand; walk/pace: 0.2/0.1 s; inplace trot/walk: 0.16/0.3 s;
+        # tap: 1.5 s — set on domain change by its plan_* update)
+        phase = state.loco_tick / state.planner.dom_ticks
 
     # ---- domain-change detection (`src/LocoWrapper.cpp:165-200`) ---- #
     time_trigger = jnp.logical_and(
-        phase > motion_cfg.max_phase, gait != Gait.STAND
+        phase > motion_cfg.max_phase,
+        gait not in (Gait.STAND, Gait.POSE),
     )
     time_trigger = jnp.logical_or(time_trigger, force_new_domain)
 
     con = contact.update(state.con, foot_force, phase, force_thresh)
-    contact_trigger = jnp.logical_and(con.change_domain, gait != Gait.STAND)
+    contact_trigger = jnp.logical_and(
+        con.change_domain, gait not in (Gait.STAND, Gait.POSE)
+    )
     if not allow_contact_trigger:
         # fixed-cadence (batched) mode: touchdown still updates the stance
         # mask, but domain advancing is the 172 ms timer (SURVEY.md §7:
@@ -187,6 +191,45 @@ def tick_build(
         planner = motion.update_toe_final(
             planner, change, con.ind, con.ind_prev, toe_pos
         )
+    elif gait == Gait.POSE:
+        # all-stance teach-pendant oscillation about the locked stand pose
+        # (`src/MotionPlanner.cpp:99-154`); no domain cycling
+        lock = jnp.zeros_like(planner.com_des)
+        lock = lock.at[0].set(planner.stand_from[0])
+        lock = lock.at[1].set(planner.stand_from[1])
+        lock = lock.at[2].set(motion_cfg.stand_height)
+        com_des = motion.pose_com(
+            motion_cfg, motion_cfg.pose_type, state.loco_tick * 1e-3,
+            0.0, lock,
+        )
+        planner = planner._replace(
+            com_des=com_des,
+            toe_init=jnp.where(change, toe_pos.T, planner.toe_init),
+        )
+        con = contact.set_des_domain(con, jnp.ones((4,), jnp.int32))
+    elif gait in (Gait.INPLACE_TROT, Gait.INPLACE_WALK, Gait.TAP):
+        # in-place bring-up gaits: COM reference held at the stand target
+        # (zero-velocity end of the stand Bezier); only the stance table
+        # and toe anchors cycle (`src/MotionPlanner.cpp:155-187`)
+        if gait == Gait.INPLACE_TROT:
+            planner = motion.plan_inplace_trot(
+                motion_cfg, planner, change, con.des, toe_pos, hip_pos
+            )
+        elif gait == Gait.INPLACE_WALK:
+            planner = motion.plan_inplace_walk(
+                motion_cfg, planner, change, toe_pos
+            )
+        else:
+            planner = motion.plan_tap(motion_cfg, planner, change, toe_pos)
+        con = jax.lax.cond(
+            change,
+            lambda c: contact.set_des_domain(c, planner.des_domain),
+            lambda c: c,
+            con,
+        )
+        planner = motion.update_toe_final(
+            planner, change, con.ind, con.ind_prev, toe_pos
+        )
     else:
         com_vals = eval_com_traj(
             state._replace(mpc_available=mpc_available), phase, motion_cfg.max_phase
@@ -216,9 +259,8 @@ def tick_build(
         com_des=planner.com_des,
         toe_init=planner.toe_init,
         step_len=planner.step_len,
-        dom_ticks=planner.dom_ticks
-        if gait in (Gait.STAND, Gait.WALK, Gait.PACE)
-        else jnp.asarray(dom_ticks_gait, dtype),
+        dom_ticks=jnp.asarray(dom_ticks_gait, dtype)
+        if gait == Gait.TROT else planner.dom_ticks,
         toe_offset_z=jnp.asarray(motion_cfg.toe_offset_z, dtype),
     )
     vc = lowlevel.virtual_constraints(

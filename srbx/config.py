@@ -239,6 +239,8 @@ class MotionConfig:
     # `params/Walking_params.txt` via `src/Parameters.cpp:149-166`.
     stand_height: float = 0.28
     swing_height: float = 0.125
+    # POSE teach-pendant axis (0/1/2 = x/y/z, 3/4/5 = roll/pitch/yaw)
+    pose_type: int = 0
     fwd_speed: float = 0.0
     lat_speed: float = 0.0
     yaw_speed: float = 0.0

@@ -699,8 +699,11 @@ def run_velocity_gait(
     Raibert stepping with the ramped `motion_cfg.fwd_speed`/`lat_speed`
     command — the reference's `MotionPlanner` WALK/PACE modes
     (`src/MotionPlanner.cpp:188-226,269-305`) closed through the full
-    18-DoF plant."""
-    assert gait in (Gait.WALK, Gait.PACE)
+    18-DoF plant. Also drives the in-place bring-up gaits (INPLACE_TROT /
+    INPLACE_WALK / TAP, `:155-187`), which hold the COM at the stand
+    target while cycling stance tables."""
+    assert gait in (Gait.WALK, Gait.PACE, Gait.INPLACE_TROT,
+                    Gait.INPLACE_WALK, Gait.TAP, Gait.POSE)
     ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     sims, asts, _ = _init_lanes(motion_cfg, loop, model, agent_initial, dtype)
     sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,

@@ -232,3 +232,47 @@ def test_velocity_gait_walk_and_pace():
     assert int(pace.domains.min()) >= 8          # 0.1 s pace domains cycled
     assert float(pace.qp_ok.min()) > 0.9
     assert float(np.asarray(pace.com_hist)[:, :, 2].min()) > 0.25
+
+
+@pytest.mark.slow
+def test_inplace_gaits_and_pose_through_plant():
+    """INPLACE_TROT / INPLACE_WALK / TAP cycle their stance tables in place
+    (bounded drift, held height); POSE oscillates the commanded axis about
+    the locked stand pose (`src/MotionPlanner.cpp:99-187`)."""
+    import dataclasses
+
+    from srbx.config import Gait
+    cl = closedloop
+
+    dtype = jnp.float64
+    model = a1.model()
+    loop = cl.LoopConfig(stand_ticks=400)
+    qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
+                      reg_dual=1e-6, max_iters=12)
+    a0 = jnp.zeros((1, 2), dtype)
+
+    for gait, nt, min_dom in ((Gait.INPLACE_TROT, 1000, 5),
+                              (Gait.INPLACE_WALK, 1300, 4),
+                              (Gait.TAP, 1800, 1)):
+        res = jax.jit(lambda s, g=gait, n=nt: cl.run_velocity_gait(
+            g, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
+            loop, model, s, n_ticks=n, dtype=dtype, backend="xla",
+            ll_reduced=True))(a0)
+        ch = np.asarray(res.com_hist)
+        assert int(res.domains.min()) >= min_dom, Gait(gait).name
+        assert float(res.qp_ok.min()) > 0.95, Gait(gait).name
+        assert ch[:, :, 2].min() > 0.25, Gait(gait).name
+        assert np.abs(np.asarray(res.sim.q)[:, 0:2]).max() < 0.05, \
+            Gait(gait).name
+
+    mo = dataclasses.replace(MotionConfig(), pose_type=0)
+    res = jax.jit(lambda s: cl.run_velocity_gait(
+        Gait.POSE, LowLevelConfig(), mo, qp_cfg, wb.SimConfig(), loop,
+        model, s, n_ticks=2500, dtype=dtype, backend="xla",
+        ll_reduced=True))(a0)
+    ch = np.asarray(res.com_hist)
+    amp = (ch[0, 400:, 0].max() - ch[0, 400:, 0].min()) / 2
+    assert 0.02 < amp < 0.06          # commanded x amplitude 0.04
+    assert float(res.qp_ok.min()) > 0.95
+    # POSE never cycles domains beyond the forced kick-off at tick 0
+    assert int(res.domains.max()) <= 1
