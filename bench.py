@@ -10,9 +10,9 @@ condensed QP with per-knot simplex elimination (n 41->17->13, me 28->4->0),
 statically-redundant rows elided (mi 92->28: big-M boxes + implied
 lambda<=1; all equivalences test-enforced), f32, B=65536 lanes.
 Progression: 73k (B=4k) -> 130k (B=64k, condensed) -> 165k (+ box elision)
--> 176k (+ lambda-upper elision) -> 355k solves/s (+ simplex elimination:
-me=0 skips the Schur-complement stage entirely — half the kernel's
-per-iteration instruction count).
+-> 176k (+ lambda-upper elision) -> 355k (+ simplex elimination) -> 361k
+solves/s (+ trace-time noeq kernel specialization: me=0 skips the whole
+Schur-complement stage — M^-1 A^T, S factorization, dy — every iteration).
 
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;
