@@ -10,9 +10,9 @@ condensed QP with per-knot simplex elimination (n 41->17->13, me 28->4->0),
 statically-redundant rows elided (mi 92->28: big-M boxes + implied
 lambda<=1; all equivalences test-enforced), f32, B=65536 lanes.
 Progression: 73k (B=4k) -> 130k (B=64k, condensed) -> 165k (+ box elision)
--> 176k (+ lambda-upper elision) -> 355k (+ simplex elimination) -> 361k
-solves/s (+ trace-time noeq kernel specialization: me=0 skips the whole
-Schur-complement stage — M^-1 A^T, S factorization, dy — every iteration).
+-> 176k (+ lambda-upper elision) -> 355k (+ simplex elimination) -> 361k (+ trace-time noeq kernel
+specialization: me=0 skips the whole Schur-complement stage every
+iteration) -> 367k solves/s (+ lane tile 256 -> 512).
 
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;
@@ -23,6 +23,7 @@ Prints ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -31,6 +32,13 @@ import jax
 def main():
     import jax.numpy as jnp
     import numpy as np
+
+    # Lane-tile sweep at the production shape (f32, B=65536): raw QP
+    # 1.42M/1.41M/1.50M/1.56M qp/s at tile 128/256/512/1024, but at cycle
+    # level tile=512 wins (366,961 vs 361k at 256 and 1024) — larger tiles
+    # amortize Mosaic per-op overhead until they start hurting the
+    # assembly/fit stages' fusion.
+    tile = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 
     from srbx import mpc, mpc_batch, refplan
     from srbx.config import MpcConfig, QpConfig
@@ -79,7 +87,7 @@ def main():
     def fn(dom, alpha, q, dq, ci):
         out = mpc_batch.run_nmpc_batch(
             cfg, qp_cfg, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
-            pr, prd, a0s, pobs_b, backend=backend, tile=256, condensed=True,
+            pr, prd, a0s, pobs_b, backend=backend, tile=tile, condensed=True,
         )
         return out.states, out.alpha_com
 
