@@ -153,6 +153,19 @@ def plan_trot(
     )
 
 
+def _ramp_vel(des_vel, fwd_speed, lat_speed, rate=0.01):
+    """Signed velocity ramp (`MotionPlanner::updateVel`,
+    `src/MotionPlanner.cpp:332-338`): step toward the target while
+    sign(target)*v < sign(target)*target, so overshoot or a reversed command
+    still converges (an |v| < |target| gate would stall there)."""
+    def axis(v, target):
+        sgn = jnp.sign(target)
+        return v + jnp.where(sgn * v < sgn * target, rate * sgn, 0.0)
+
+    return des_vel.at[0].set(axis(des_vel[0], fwd_speed)).at[1].set(
+        axis(des_vel[1], lat_speed))
+
+
 def plan_walk(motion: MotionConfig, state: PlannerState, change_domain, toe_pos,
               com_filtered, rot, fwd_speed=0.0, lat_speed=0.0):
     """WALK domain update (`src/MotionPlanner.cpp:188-220`)."""
@@ -160,14 +173,7 @@ def plan_walk(motion: MotionConfig, state: PlannerState, change_domain, toe_pos,
     dom_sec = 0.2
     n = jnp.mod(state.cycle_idx + 1, 4)
     new_des = jnp.asarray(_WALK)[n]
-    rate = 0.01
-    des_vel = state.des_vel
-    des_vel = des_vel.at[0].add(
-        jnp.where(jnp.abs(des_vel[0]) < jnp.abs(fwd_speed), rate * jnp.sign(fwd_speed), 0.0)
-    )
-    des_vel = des_vel.at[1].add(
-        jnp.where(jnp.abs(des_vel[1]) < jnp.abs(lat_speed), rate * jnp.sign(lat_speed), 0.0)
-    )
+    des_vel = _ramp_vel(state.des_vel, fwd_speed, lat_speed)
     kp = jnp.asarray([0.04, 0.01, 0.0], dtype)
     step_body = kp * (rot.T @ com_filtered - des_vel) + dom_sec * (rot.T @ des_vel) / 2.0
     step = rot @ step_body
@@ -188,14 +194,7 @@ def plan_pace(motion: MotionConfig, state: PlannerState, change_domain, prev_des
     dtype = state.com_des.dtype
     dom_sec = 0.1
     new_des = jnp.where(prev_des[0] == 1, jnp.asarray(_PACE_A), jnp.asarray(_PACE_B))
-    rate = 0.01
-    des_vel = state.des_vel
-    des_vel = des_vel.at[0].add(
-        jnp.where(jnp.abs(des_vel[0]) < jnp.abs(fwd_speed), rate * jnp.sign(fwd_speed), 0.0)
-    )
-    des_vel = des_vel.at[1].add(
-        jnp.where(jnp.abs(des_vel[1]) < jnp.abs(lat_speed), rate * jnp.sign(lat_speed), 0.0)
-    )
+    des_vel = _ramp_vel(state.des_vel, fwd_speed, lat_speed)
     kp = jnp.asarray([0.04, 0.02, 0.0], dtype)
     step_body = kp * (rot.T @ com_filtered - des_vel) + dom_sec * (rot.T @ des_vel) / 2.0
     step = rot @ step_body

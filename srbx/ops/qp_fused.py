@@ -402,8 +402,11 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), tile: int = DEFAULT_TILE
     )
     bl = lambda arr: jnp.moveaxis(arr, -1, 0)[:bsz]
     stat = bl(stat)
+    # the noeq placeholder row never enters the solve; return the true
+    # (B, 0) equality dual so all three solver families share one shape
+    y_out = bl(y)[:, :0] if noeq else bl(y)
     return BatchSolution(
-        x=bl(x), y=bl(y), z=bl(z), s=bl(s),
+        x=bl(x), y=y_out, z=bl(z), s=bl(s),
         iters=stat[:, 3].max().astype(jnp.int32),
         converged=stat[:, 2] > 0.5,
         res=stat[:, 0],

@@ -44,6 +44,9 @@ class LoopResult(NamedTuple):
     qp_ok: jax.Array          # () fraction of converged LL QPs
     mpc_ok: jax.Array         # () fraction of converged MPC cycles
     tau_hist: jax.Array       # (n_domains, 2) max |tau| per domain, V
+    # estimation-in-the-loop only (est_cfg passed): per-lane RMSE of the
+    # base-state estimate over the locomotion phase, [pos (m), vel (m/s)]
+    est_rmse: jax.Array | None = None   # (B, 2)
 
 
 def run(
@@ -203,27 +206,69 @@ def _init_lanes(motion_cfg, loop, model, a0_l, dtype):
     return jax.vmap(init_one)(a0_l)
 
 
-def _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model,
-                 sims, asts, backend, tile, ll_reduced):
-    """Batched stand-up scan shared by the batch loop runners."""
-    def stand_tick(carry, _):
-        sims, asts = carry
+def _init_ests(est_cfg, model, sims, est_key):
+    """Per-lane estimator init (estimation-in-the-loop runs)."""
+    from srbx.estimation import pipeline
+
+    if est_key is None:
+        est_key = jax.random.PRNGKey(0)
+    bsz = sims.q.shape[0]
+    keys = jax.random.split(est_key, bsz)
+    return jax.vmap(lambda s, k: pipeline.init(est_cfg, model, s, k))(
+        sims, keys)
+
+
+def _est_step(est_cfg, sim_cfg, model, ests, sims, phases):
+    """Batched estimation tick: (ests, EstOut with leading lane axis)."""
+    from srbx.estimation import pipeline
+
+    return jax.vmap(
+        lambda e, s, p: pipeline.update(est_cfg, sim_cfg, model, e, s, p)
+    )(ests, sims, phases)
+
+
+def _ctrl_inputs(est_cfg, sim_cfg, model, ests, sims, phases):
+    """The controller's view of the state for one tick: ground truth when
+    est_cfg is None, otherwise the estimation pipeline's (q̂, q̇̂, measured
+    force) with truth confined to the plant/sensors."""
+    if est_cfg is None:
         forces = jax.vmap(
             lambda s: wb.foot_force_measurement(sim_cfg, model, s)
         )(sims)
+        return ests, sims.q, sims.qd, forces
+    ests, out = _est_step(est_cfg, sim_cfg, model, ests, sims, phases)
+    return ests, out.q_hat, out.qd_hat, out.foot_force
+
+
+def _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model,
+                 sims, asts, backend, tile, ll_reduced,
+                 est_cfg=None, ests=None):
+    """Batched stand-up scan shared by the batch loop runners. With
+    estimation in the loop the estimators run (and converge) during
+    stand-up, exactly like the settle/stand phases of the hardware drivers
+    (`driver_scripts/qp_only_exp.cpp:256-310`)."""
+    from srbx.estimation import pipeline
+
+    def stand_tick(carry, _):
+        sims, asts, ests = carry
+        phases = asts.loco_tick / jnp.maximum(asts.planner.dom_ticks, 1.0)
+        ests, qs, qds, forces = _ctrl_inputs(
+            est_cfg, sim_cfg, model, ests, sims, phases)
         ll_outs, asts, _ = _tick_batch(
             ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
-            sims.q, sims.qd, forces, backend, tile, reduced=ll_reduced,
+            qs, qds, forces, backend, tile, reduced=ll_reduced,
         )
+        if est_cfg is not None:
+            ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
         sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
             sims, ll_outs.tau
         )
-        return (sims, asts), None
+        return (sims, asts, ests), None
 
-    (sims, asts), _ = jax.lax.scan(
-        stand_tick, (sims, asts), None, length=loop.stand_ticks
+    (sims, asts, ests), _ = jax.lax.scan(
+        stand_tick, (sims, asts, ests), None, length=loop.stand_ticks
     )
-    return sims, asts
+    return sims, asts, ests
 
 
 def run_batch(
@@ -243,6 +288,8 @@ def run_batch(
     tile: int = 256,
     ll_reduced: bool = False,
     ll_qp_cfg: QpConfig | None = None,
+    est_cfg=None,
+    est_key=None,
 ) -> LoopResult:
     """Batched full-fidelity loop: `run` with the lane axis inside.
 
@@ -250,43 +297,68 @@ def run_batch(
     the xla backend), but every 1 kHz LL-QP and every domain's NMPC runs as
     ONE batched solve across lanes, so the fused Pallas IPM
     (srbx.ops.qp_fused) gets the whole batch in its lane axis instead of
-    XLA batching per-lane ops."""
+    XLA batching per-lane ops.
+
+    est_cfg (an `srbx.estimation.pipeline.EstConfig`): run with ESTIMATION
+    IN THE LOOP — the controller (LL ticks and HL replans) consumes only the
+    sensor-driven kinEst/KF/prob-contact estimates, ground truth stays inside
+    the plant+sensor model, exactly the reference's deployable topology
+    (`driver_scripts/qp_only_exp.cpp:256,484`, `src/kalman.cpp:39`). The
+    result then carries `est_rmse` (B, 2): locomotion-phase RMSE of the base
+    position / velocity estimate."""
     from srbx import mpc_batch
     from srbx import motion as motion_mod
+    from srbx.estimation import pipeline
 
     ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     bsz = agent_initial.shape[0]
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
                                        agent_initial, dtype)
-    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
-                              model, sims, asts, backend, tile, ll_reduced)
+    ests = (_init_ests(est_cfg, model, sims, est_key)
+            if est_cfg is not None else None)
+    sims, asts, ests = _stand_phase(
+        ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model, sims, asts,
+        backend, tile, ll_reduced, est_cfg=est_cfg, ests=ests)
+
+    trot_dom_ticks = float(motion_cfg.trot_dom_ticks)
 
     def domain_step(carry, dom_idx):
-        sims, asts, mcarries, ok_cnt = carry
+        sims, asts, mcarries, ok_cnt, ests = carry
+        # HL replan inputs come from the controller's state view: the latest
+        # estimate when estimation is in the loop, truth otherwise.
+        q_view = sims.q if est_cfg is None else ests.q_hat
+        qd_view = sims.qd if est_cfg is None else ests.qd_hat
         toe_xy = jax.vmap(
-            lambda s: rbd.site_positions(model, s.q)[a1.TOE_SITES][:, 0:2].T
-        )(sims)
+            lambda q: rbd.site_positions(model, q)[a1.TOE_SITES][:, 0:2].T
+        )(q_view)
         contact_ind = jax.vmap(
             lambda a: motion_mod.next_trot_domain(a.con.des).astype(dtype)
         )(asts)
         out = mpc_batch.run_nmpc_batch(
-            mpc_cfg, qp_cfg, mcarries, sims.q[:, 0:2], sims.qd[:, 0:2],
+            mpc_cfg, qp_cfg, mcarries, q_view[:, 0:2], qd_view[:, 0:2],
             toe_xy, contact_ind, pr_agent, prd_agent, agent_initial,
             pobs_real, backend=backend, tile=tile,
         )
         asts2 = jax.vmap(agent_mod.set_mpc_data)(asts, out.alpha_com, out.states)
 
         def ll_tick(carry, k):
-            sims, asts = carry
-            forces = jax.vmap(
-                lambda s: wb.foot_force_measurement(sim_cfg, model, s)
-            )(sims)
+            sims, asts, ests = carry
+            phases = asts.loco_tick / trot_dom_ticks
+            ests, qs, qds, forces = _ctrl_inputs(
+                est_cfg, sim_cfg, model, ests, sims, phases)
+            errsq = jnp.stack(
+                [jnp.sum((qs[:, 0:3] - sims.q[:, 0:3]) ** 2, axis=-1),
+                 jnp.sum((qds[:, 0:3] - sims.qd[:, 0:3]) ** 2, axis=-1)],
+                axis=-1,
+            )                                          # (B, 2)
             ll_outs, asts, _ = _tick_batch(
                 ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
-                sims.q, sims.qd, forces, backend, tile,
+                qs, qds, forces, backend, tile,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
                 reduced=ll_reduced,
             )
+            if est_cfg is not None:
+                ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
             asts = asts._replace(
                 mpc_available=jnp.logical_or(
                     asts.mpc_available, k >= loop.mpc_latency_ticks
@@ -295,23 +367,24 @@ def run_batch(
             sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
                 sims, ll_outs.tau
             )
-            return (sims, asts), (sims.q[:, 0:3], ll_outs.qp_converged,
-                                  jnp.abs(ll_outs.tau).max(axis=-1))
+            return (sims, asts, ests), (sims.q[:, 0:3], ll_outs.qp_converged,
+                                        jnp.abs(ll_outs.tau).max(axis=-1),
+                                        errsq)
 
-        (sims, asts3), (com, llok, taumax) = jax.lax.scan(
-            ll_tick, (sims, asts2), jnp.arange(loop.ticks_per_domain)
+        (sims, asts3, ests), (com, llok, taumax, errsq) = jax.lax.scan(
+            ll_tick, (sims, asts2, ests), jnp.arange(loop.ticks_per_domain)
         )
         ok_cnt = ok_cnt + out.qp_converged.astype(jnp.int32)
         stats = jnp.stack(
             [jnp.max(taumax, axis=0), jnp.mean(llok.astype(dtype), axis=0)],
             axis=-1,
         )                                              # (B, 2)
-        return (sims, asts3, out.carry, ok_cnt), (com, stats)
+        return (sims, asts3, out.carry, ok_cnt, ests), (
+            com, stats, jnp.mean(errsq, axis=0))
 
-    init_carry = (sims, asts, mcarries, jnp.zeros((bsz,), jnp.int32))
-    (sims, asts, mcarries, ok_cnt), (com_hist, stats) = jax.lax.scan(
-        domain_step, init_carry, jnp.arange(loop.n_domains)
-    )
+    init_carry = (sims, asts, mcarries, jnp.zeros((bsz,), jnp.int32), ests)
+    (sims, asts, mcarries, ok_cnt, ests), (com_hist, stats, errsq) = (
+        jax.lax.scan(domain_step, init_carry, jnp.arange(loop.n_domains)))
     # com_hist: (n_domains, ticks, B, 3) -> (B, n_domains, ticks, 3)
     return LoopResult(
         sim=sims,
@@ -320,6 +393,8 @@ def run_batch(
         qp_ok=jnp.mean(stats[:, :, 1], axis=0),
         mpc_ok=ok_cnt.astype(dtype) / loop.n_domains,
         tau_hist=jnp.moveaxis(stats, 1, 0),
+        est_rmse=(jnp.sqrt(jnp.mean(errsq, axis=0))
+                  if est_cfg is not None else None),
     )
 
 
@@ -464,8 +539,8 @@ def run_team_batch(
     pobs_l = jnp.repeat(pobs_real.astype(dtype), n_agents, axis=0)
 
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model, a0_l, dtype)
-    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
-                              model, sims, asts, backend, tile, ll_reduced)
+    sims, asts, _ = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                                 model, sims, asts, backend, tile, ll_reduced)
 
     def domain_step(carry, dom_idx):
         sims, asts, mcarries = carry
@@ -574,8 +649,8 @@ def run_batch_event(
     bsz = agent_initial.shape[0]
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
                                        agent_initial, dtype)
-    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
-                              model, sims, asts, backend, tile, ll_reduced)
+    sims, asts, _ = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                                 model, sims, asts, backend, tile, ll_reduced)
 
     latency = jnp.asarray(loop.mpc_latency_ticks, jnp.int32)
 
@@ -706,8 +781,8 @@ def run_velocity_gait(
                     Gait.INPLACE_WALK, Gait.TAP, Gait.POSE)
     ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     sims, asts, _ = _init_lanes(motion_cfg, loop, model, agent_initial, dtype)
-    sims, asts = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
-                              model, sims, asts, backend, tile, ll_reduced)
+    sims, asts, _ = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
+                                 model, sims, asts, backend, tile, ll_reduced)
 
     def tick(carry, k):
         sims, asts = carry
