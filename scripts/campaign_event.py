@@ -20,6 +20,9 @@ from srbx.sim import closedloop, wholebody as wb
 n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 n_ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 1720   # ~10 nominal domains
 period = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+# 4th arg "est": estimator-aware event triggers — the contact debouncer runs
+# on the MEASURED foot force and the controller consumes estimates
+use_est = len(sys.argv) > 4 and sys.argv[4] == "est"
 dtype = jnp.float32
 model = a1.model()
 
@@ -38,6 +41,11 @@ ref_cfg = refplan.two_agent_config(loop_size=8_000)
 p_start = jnp.asarray([0.0, 0.0, 0.0, -1.0], dtype)
 
 
+from srbx.estimation import pipeline
+
+est_cfg = pipeline.EstConfig() if use_est else None
+
+
 def fn(pobs_b):
     refs = jax.vmap(lambda p: refplan.generate(ref_cfg, p_start, p,
                                                dtype=dtype))(pobs_b)
@@ -47,7 +55,8 @@ def fn(pobs_b):
         loop, model, refs.pr[:, 0:2], refs.prd[:, 0:2], a0, pobs_b,
         n_ticks=n_ticks, dtype=dtype, backend="fused",
         tile=256 if n_scen >= 256 else 128, ll_reduced=True,
-        mpc_period_ticks=period)
+        mpc_period_ticks=period,
+        est_cfg=est_cfg, est_key=jax.random.PRNGKey(11))
 
 
 fn = jax.jit(fn)
@@ -64,7 +73,14 @@ min_clear = d.min(axis=(1, 2))
 success = min_clear > 0.5
 dom = np.asarray(res.domains)
 print(f"scenarios={n_scen} ticks={n_ticks} HL period={period} "
-      f"wall {wall:.1f}s (incl compile)", flush=True)
+      f"wall {wall:.1f}s (incl compile)"
+      + ("  [ESTIMATION IN THE LOOP]" if use_est else ""), flush=True)
+if getattr(res, "est_rmse", None) is not None:
+    rmse = np.asarray(res.est_rmse)
+    print(f"est RMSE: pos p50 {np.median(rmse[:, 0])*1e3:.1f} mm "
+          f"(worst {rmse[:, 0].max()*1e3:.1f})  vel p50 "
+          f"{np.median(rmse[:, 1]):.3f} m/s (worst {rmse[:, 1].max():.3f})",
+          flush=True)
 print(f"success {success.mean()*100:.1f}%  min clearance p50 "
       f"{np.median(min_clear):.2f} m  worst {min_clear.min():.2f} m  "
       f"domains/lane p50 {int(np.median(dom))}  "

@@ -20,6 +20,10 @@ from srbx.sim import closedloop, wholebody as wb
 n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
+# 4th arg "est": ESTIMATION IN THE LOOP — controller consumes only the
+# kinEst/KF/prob-contact estimates driven by the synthetic sensor streams
+# (batch modes only)
+use_est = len(sys.argv) > 4 and sys.argv[4] == "est"
 # Remote-worker program-size limit (this environment): 256 scenarios x 20
 # domains of the whole-body loop runs clean; 512 crashes the TPU worker.
 # Chunk larger campaigns into <=256-scenario programs.
@@ -50,6 +54,10 @@ def one(pobs_s):
         dtype=dtype)
 
 if mode.startswith("batch"):
+    from srbx.estimation import pipeline
+
+    est_cfg = pipeline.EstConfig() if use_est else None
+
     def fn(pobs_b):
         refs = jax.vmap(lambda p: refplan.generate(ref_cfg, p_start, p,
                                                    dtype=dtype))(pobs_b)
@@ -58,7 +66,8 @@ if mode.startswith("batch"):
             mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
             loop, model, refs.pr[:, 0:2], refs.prd[:, 0:2], a0, pobs_b,
             dtype=dtype, backend="fused", tile=256 if n_scen >= 256 else 128,
-            ll_reduced=mode.endswith("-r"))
+            ll_reduced=mode.endswith("-r"),
+            est_cfg=est_cfg, est_key=jax.random.PRNGKey(11))
     fn = jax.jit(fn)
 else:
     fn = jax.jit(jax.vmap(one))
@@ -72,8 +81,15 @@ obs = np.asarray(pobs)                            # (S, 2, 20)
 d = np.linalg.norm(xy[:, :, None, :] - obs.transpose(0, 2, 1)[:, None], axis=-1)
 min_clear = d.min(axis=(1, 2))                    # (S,)
 success = min_clear > 0.5
-print(f"scenarios={n_scen} domains={n_domains} wall {wall:.1f}s (incl compile)")
+print(f"scenarios={n_scen} domains={n_domains} wall {wall:.1f}s (incl compile)"
+      + ("  [ESTIMATION IN THE LOOP]" if use_est else ""))
 print(f"success {success.mean()*100:.1f}%  min clearance p50 "
       f"{np.median(min_clear):.2f} m  worst {min_clear.min():.2f} m  "
       f"qp_ok {float(np.asarray(res.qp_ok).mean()):.3f}  "
       f"finite={np.isfinite(com).all()}", flush=True)
+if getattr(res, "est_rmse", None) is not None:
+    rmse = np.asarray(res.est_rmse)
+    print(f"est RMSE: pos p50 {np.median(rmse[:, 0])*1e3:.1f} mm "
+          f"(worst {rmse[:, 0].max()*1e3:.1f})  vel p50 "
+          f"{np.median(rmse[:, 1]):.3f} m/s (worst {rmse[:, 1].max():.3f})",
+          flush=True)

@@ -606,6 +606,9 @@ class EventBatchResult(NamedTuple):
     domains: jax.Array        # (B,) gait domains completed (int32)
     mpc_solves: jax.Array     # (B,) NMPC replans actually applied
     trigger_hist: jax.Array   # (B, n_ticks) bool — replan requested
+    # estimation-in-the-loop only (est_cfg passed): per-lane RMSE of the
+    # base-state estimate over the locomotion ticks, [pos (m), vel (m/s)]
+    est_rmse: jax.Array | None = None   # (B, 2)
 
 
 def run_batch_event(
@@ -627,6 +630,8 @@ def run_batch_event(
     ll_reduced: bool = False,
     ll_qp_cfg: QpConfig | None = None,
     mpc_period_ticks: int = 1,
+    est_cfg=None,
+    est_key=None,
 ) -> EventBatchResult:
     """Batched GENUINELY EVENT-DRIVEN loop: per-lane contact/phase-overrun
     domain triggers (`src/LocoWrapper.cpp:165-200` semantics, per lane), not
@@ -642,29 +647,45 @@ def run_batch_event(
     cost a few percent. Between a lane's trigger and its solution delivery
     (`loop.mpc_latency_ticks` later), the LL runs on the stale-Bezier
     fallback, exactly the reference's real-time elasticity.
+
+    est_cfg: ESTIMATION-AWARE event triggers — the contact debouncer (and
+    hence the per-lane domain trigger) runs on the MEASURED foot force from
+    the sensor model, and the LL ticks and HL replans consume the estimated
+    (q̂, q̇̂), exactly the reference's deployable topology where ContactEst
+    sees the hardware footForce and kinEst/KF produce the controller state
+    (`src/ContactEst.cpp:20-67`, `src/LocoWrapper.cpp:193-200`,
+    `driver_scripts/qp_only_exp.cpp:256,484`). Ground truth stays in the
+    plant+sensor model; the result carries `est_rmse`.
     """
     from srbx import mpc_batch
+    from srbx.estimation import pipeline
 
     ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     bsz = agent_initial.shape[0]
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
                                        agent_initial, dtype)
-    sims, asts, _ = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
-                                 model, sims, asts, backend, tile, ll_reduced)
+    ests = (_init_ests(est_cfg, model, sims, est_key)
+            if est_cfg is not None else None)
+    sims, asts, ests = _stand_phase(
+        ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model, sims, asts,
+        backend, tile, ll_reduced, est_cfg=est_cfg, ests=ests)
 
     latency = jnp.asarray(loop.mpc_latency_ticks, jnp.int32)
+    trot_dom_ticks = float(motion_cfg.trot_dom_ticks)
 
     def hl_poll(args):
-        """One HL invocation: batched NMPC for all lanes; masked apply."""
+        """One HL invocation: batched NMPC for all lanes; masked apply.
+        qs/qds are the controller's state view for this tick (estimates
+        when estimation is in the loop)."""
         (sims, asts, mcarries, pend_alpha, pend_states, countdown,
-         n_solves, req) = args
+         n_solves, req, qs, qds) = args
         toe_xy = jax.vmap(
-            lambda s: rbd.site_positions(model, s.q)[a1.TOE_SITES][:, 0:2].T
-        )(sims)
+            lambda q: rbd.site_positions(model, q)[a1.TOE_SITES][:, 0:2].T
+        )(qs)
         # the triggering tick already advanced con.des to the NEW domain
         contact_ind = asts.con.des.astype(dtype)
         out = mpc_batch.run_nmpc_batch(
-            mpc_cfg, qp_cfg, mcarries, sims.q[:, 0:2], sims.qd[:, 0:2],
+            mpc_cfg, qp_cfg, mcarries, qs[:, 0:2], qds[:, 0:2],
             toe_xy, contact_ind, pr_agent, prd_agent, agent_initial,
             pobs_real, backend=backend, tile=tile,
         )
@@ -681,30 +702,37 @@ def run_batch_event(
         n_solves = n_solves + m.astype(jnp.int32)
         req = jnp.zeros_like(req)
         return (sims, asts, mcarries, pend_alpha, pend_states, countdown,
-                n_solves, req)
+                n_solves, req, qs, qds)
 
     def tick_step(carry, k):
         (sims, asts, mcarries, pend_alpha, pend_states, countdown,
-         n_solves, req) = carry
-        forces = jax.vmap(
-            lambda s: wb.foot_force_measurement(sim_cfg, model, s)
-        )(sims)
+         n_solves, req, ests) = carry
+        phases = asts.loco_tick / trot_dom_ticks
+        ests, qs, qds, forces = _ctrl_inputs(
+            est_cfg, sim_cfg, model, ests, sims, phases)
+        errsq = jnp.stack(
+            [jnp.sum((qs[:, 0:3] - sims.q[:, 0:3]) ** 2, axis=-1),
+             jnp.sum((qds[:, 0:3] - sims.qd[:, 0:3]) ** 2, axis=-1)],
+            axis=-1,
+        )                                          # (B, 2)
         ll_outs, asts, run_mpc = _tick_batch(
             ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
-            sims.q, sims.qd, forces, backend, tile,
+            qs, qds, forces, backend, tile,
             force_new_domain=(k == 0), allow_contact_trigger=True,
             reduced=ll_reduced,
         )
+        if est_cfg is not None:
+            ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
         req = jnp.logical_or(req, run_mpc)
 
         state = (sims, asts, mcarries, pend_alpha, pend_states, countdown,
-                 n_solves, req)
+                 n_solves, req, qs, qds)
         state = jax.lax.cond(
             jnp.logical_and(k % mpc_period_ticks == 0, req.any()),
             hl_poll, lambda a: a, state,
         )
         (sims, asts, mcarries, pend_alpha, pend_states, countdown,
-         n_solves, req) = state
+         n_solves, req, _, _) = state
 
         # delivery: countdown reaches 0 -> the lane gets its fresh solution
         deliver = countdown == 0
@@ -721,19 +749,20 @@ def run_batch_event(
             sims, ll_outs.tau
         )
         carry = (sims, asts, mcarries, pend_alpha, pend_states, countdown,
-                 n_solves, req)
-        return carry, (sims.q[:, 0:3], ll_outs.qp_converged, run_mpc)
+                 n_solves, req, ests)
+        return carry, (sims.q[:, 0:3], ll_outs.qp_converged, run_mpc, errsq)
 
     init = (
         sims, asts, mcarries,
         jnp.zeros((bsz, 4, 5), dtype), jnp.zeros((bsz, 4, 4), dtype),
         jnp.full((bsz,), -1, jnp.int32), jnp.zeros((bsz,), jnp.int32),
-        jnp.zeros((bsz,), bool),
+        jnp.zeros((bsz,), bool), ests,
     )
-    carry, (com, llok, trig) = jax.lax.scan(
+    carry, (com, llok, trig, errsq) = jax.lax.scan(
         tick_step, init, jnp.arange(n_ticks)
     )
-    sims, asts, mcarries, _, _, _, n_solves, _ = carry
+    sims, asts, mcarries = carry[0:3]
+    n_solves = carry[6]
     return EventBatchResult(
         sim=sims,
         agent=asts,
@@ -742,6 +771,8 @@ def run_batch_event(
         domains=asts.gait_domain,
         mpc_solves=n_solves,
         trigger_hist=jnp.moveaxis(trig, 1, 0),
+        est_rmse=(jnp.sqrt(jnp.mean(errsq, axis=0))
+                  if est_cfg is not None else None),
     )
 
 

@@ -133,6 +133,42 @@ def test_estimation_in_the_loop_trot():
     assert rmse[:, 1].max() < 0.10, f"vel RMSE {rmse[:, 1]}"
 
 
+@pytest.mark.slow
+def test_estimation_aware_event_triggers():
+    """Event-driven loop with estimation in the loop: the contact debouncer
+    (and hence the per-lane domain trigger) runs on the MEASURED foot force
+    and the controller consumes estimates — the reference's deployable
+    event topology (`src/ContactEst.cpp:20-67` fed by hardware footForce,
+    `src/LocoWrapper.cpp:193-200`). Domains must still cycle (triggers fire
+    from sensed touchdowns), the plant must progress, and the estimate
+    error budget must hold."""
+    traj = refplan.generate(
+        refplan.two_agent_config(loop_size=20_000),
+        jnp.asarray([0.0, 0.0, 0.0, -1.0]),
+        jnp.asarray([[100.0] * 20, [100.0] * 20]),
+    )
+    B = 2
+    n_ticks = 700
+    loop = closedloop.LoopConfig(stand_ticks=600, mpc_latency_ticks=5)
+    pr = jnp.stack([traj.pr[0:2]] * B)
+    prd = jnp.stack([traj.prd[0:2]] * B)
+    a0 = jnp.asarray([[0.0, 0.0], [0.0, -1.0]])
+    pobs = jnp.stack([jnp.asarray([[100.0] * 20, [100.0] * 20])] * B)
+    res = jax.jit(lambda: closedloop.run_batch_event(
+        MpcConfig(use_sqp=False), LL, MO, QP, SIM, loop, M, pr, prd, a0,
+        pobs, n_ticks=n_ticks, backend="xla", mpc_period_ticks=20,
+        est_cfg=pipeline.EstConfig(), est_key=jax.random.PRNGKey(7)))()
+    q = np.asarray(res.sim.q)
+    dom = np.asarray(res.domains)
+    assert dom.min() >= 3, f"event triggers did not cycle domains: {dom}"
+    assert q[:, 0].min() > 0.05, f"no forward progress: {q[:, 0]}"
+    assert np.abs(q[:, 2] - MO.stand_height).max() < 0.03
+    assert np.asarray(res.qp_ok).min() > 0.98
+    rmse = np.asarray(res.est_rmse)
+    assert rmse[:, 0].max() < 0.01, f"pos RMSE {rmse[:, 0]}"
+    assert rmse[:, 1].max() < 0.10, f"vel RMSE {rmse[:, 1]}"
+
+
 def test_ground_truth_path_unchanged():
     """est_cfg=None must keep the exact pre-estimation program: est_rmse is
     None and the loop consumes plant truth (smoke at tiny sizes)."""
