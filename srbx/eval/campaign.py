@@ -346,9 +346,15 @@ def run_campaign_batch_sharded(
     """run_campaign_batch with the scenario axis sharded over a device mesh
     (the multi-host production shape: pure DP over scenarios, the fused
     solver running per-device on its local lanes; no collectives until the
-    host-side summary)."""
+    host-side summary).
+
+    Multi-process safe: when the mesh spans devices of several processes
+    (`jax.distributed` runtime, srbx.parallel.multiproc), every process
+    samples the same global fields from `key` and contributes only its
+    addressable shards — the jax analogue of each reference PC deriving the
+    same obstacle field from the LCM broadcast (`lcm_obs/obs.lcm`)."""
     from jax import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     if mesh is None:
         devs = np.asarray(jax.devices())
@@ -365,13 +371,27 @@ def run_campaign_batch_sharded(
     pobs, pobs_real = sample_obstacles(
         k_obs, n_scenarios, camp.n_obstacles, camp.obstacle_uncertainty
     )
-    keys = jax.random.split(k_run, n_dev)
+    # raw key bits so the operands are plain arrays (shardable across
+    # processes); wrapped back inside the shard body
+    keys_data = jax.random.key_data(jax.random.split(k_run, n_dev))
 
-    def local(pobs_d, pobs_real_d, k):
+    def local(pobs_d, pobs_real_d, kd):
         return _run_campaign_batch_core(
-            cfg, qp_cfg, camp, ref_cfg, p_start, pobs_d, pobs_real_d, k[0],
-            backend, tile,
+            cfg, qp_cfg, camp, ref_cfg, p_start, pobs_d, pobs_real_d,
+            jax.random.wrap_key_data(kd[0]), backend, tile,
         )
+
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+    if multiproc:
+        def garr(spec, v):
+            v = np.asarray(v)
+            return jax.make_array_from_callback(
+                v.shape, NamedSharding(mesh, spec), lambda idx: v[idx])
+
+        pobs = garr(P("scen"), pobs)
+        pobs_real = garr(P("scen"), pobs_real)
+        keys_data = garr(P("scen"), keys_data)
 
     sharded = shard_map(
         local, mesh=mesh,
@@ -379,7 +399,7 @@ def run_campaign_batch_sharded(
         out_specs=P("scen"),
         check_vma=False,
     )
-    return sharded(pobs, pobs_real, keys)
+    return sharded(pobs, pobs_real, keys_data)
 
 
 def run_campaign_chunked(
