@@ -32,20 +32,29 @@ qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
 mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=True,
                     elide_box_rows=True, elide_simplex=True)
 
-pr = ref.pr.reshape(4, 2, -1)
-prd = ref.prd.reshape(4, 2, -1)
-agent0 = p_start.reshape(4, 2)
+# one scenario through the batched team loop at the production operating
+# point: reduced LL QP (n 43->25) + Ruiz equilibration — the conditioning
+# fix that takes the batch loops to 100% LL-QP convergence (ROUND1; the
+# per-lane run_team path has no reduced build)
+pr = ref.pr.reshape(1, 4, 2, -1)
+prd = ref.prd.reshape(1, 4, 2, -1)
+agent0 = p_start.reshape(1, 4, 2)
+pobs_b = pobs.reshape(1, 2, -1)
 
-fn = jax.jit(lambda: closedloop.run_team(
+fn = jax.jit(lambda: closedloop.run_team_batch(
     mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
-    loop, model, pr, prd, agent0, pobs, dtype=dtype))
+    loop, model, pr, prd, agent0, pobs_b, dtype=dtype,
+    backend="fused", tile=128, ll_reduced=True))
 t0 = time.perf_counter()
 res = fn()
 sims, com_ends, margins, llok = res
 _ = np.asarray(com_ends[:1])
 wall = time.perf_counter() - t0
-ce = np.asarray(com_ends); mg = np.asarray(margins); lk = np.asarray(llok)
-final = ce[-1]
+# com_ends (D, 1, A, 3) -> (D, A, 3); margins (D, 1, A); llok (D, 1)
+ce = np.asarray(com_ends)[:, 0]
+mg = np.asarray(margins)[:, 0]
+lk = np.asarray(llok)[:, 0]
+final = ce[-1][:, 0:2]
 import itertools
 dmin = min(np.linalg.norm(final[i] - final[j]) for i, j in itertools.combinations(range(4), 2))
 print(f"final agent xy:\n{np.round(final, 3)}")
