@@ -1,0 +1,220 @@
+"""FULL-FIDELITY host deployment: the 18-DoF whole-body control chain driven
+by the native dual-rate runtime — `agent.tick` (estimation-free hardware
+topology: VC → LL QP → torque) + compliant-ground plant at a true 1 kHz
+`RateLoop`, event-based NMPC served by a second 20 ms-polled loop, the two
+exchanging state/plan through the seqlock `SharedStore`.
+
+This is the deployment shape of the reference's hardware driver
+(`driver_scripts/qp_only_exp.cpp:156-370`: `ExternalComm::Calc` @1 ms and
+`ExternalComm::HighLevel` @20 ms wired at `:665-668`, sharing `sharedData`
+through the boost::mutex store) with the whole-body chain — not the LIP
+template of examples/run_host.py — in the loop. The plant stands in for the
+robot+SDK; everything the controller consumes crosses the store, nothing
+else does.
+
+Runs on the host CPU (the reference's 1 kHz chain also runs on the robot's
+host PC): per-call device latencies at B=1 are µs-scale there, so the 1 ms
+deadline is real. Run with JAX_PLATFORMS=cpu (forced below).
+
+    python examples/run_host_wholebody.py [seconds]
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend.backend as _jeb
+
+    _jeb.clear_backends()
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from srbx import agent as agent_mod
+from srbx import mpc as mpc_mod
+from srbx import refplan, runtime
+from srbx.config import Gait, LowLevelConfig, MotionConfig, MpcConfig, QpConfig
+from srbx.models import a1, rbd
+from srbx.sim import wholebody as wb
+
+STATE_SLOT, PLAN_SLOT = 0, 1
+M = a1.model()
+LL, MO, QP, SIM = (LowLevelConfig(), MotionConfig(), QpConfig(),
+                   wb.SimConfig())
+MPC = MpcConfig(use_sqp=True, sqp_iters=1)
+
+
+def main(seconds: float = 5.0, ll_period_us: int = 1_000):
+    p_start = jnp.asarray([0.0, 0.0], jnp.float64)
+    pobs = jnp.full((2, 20), 100.0)
+    ref = refplan.generate(
+        refplan.two_agent_config(loop_size=20_000),
+        jnp.asarray([0.0, 0.0, 0.0, -1.0]), pobs)
+    pr, prd = ref.pr[0:2], ref.prd[0:2]
+
+    # ----------------- jitted steps (compiled before the loops) ---------- #
+    # production LL operating point: reduced QP build (n 43->25) + Ruiz
+    # equilibration (the batch loops' conditioning fix, ROUND1)
+    import dataclasses as _dc
+
+    from srbx.ops import qp as qp_mod
+
+    QP_LL = _dc.replace(QP, ruiz_iters=max(QP.ruiz_iters, 5))
+
+    @jax.jit
+    def ll_fn(sim, ast):
+        force = wb.foot_force_measurement(SIM, M, sim)
+        data, ctx = agent_mod.tick_build(
+            LL, MO, M, Gait.TROT, ast, sim.q, sim.qd, force,
+            allow_contact_trigger=True, reduced=True)
+        with jax.default_matmul_precision("highest"):
+            sol = qp_mod.solve(data.P, data.c, data.A, data.b, data.G,
+                               data.h, QP_LL)
+        ll_out, ast, run_mpc = agent_mod.tick_finish(
+            LL, ctx, sim.q, sim.qd, sol.x, sol.converged, reduced=True)
+        sim = wb.step(SIM, M, sim, ll_out.tau)
+        return sim, ast, run_mpc, ll_out.qp_converged
+
+    @jax.jit
+    def hl_fn(domain, alpha_buf, q, qd, ci):
+        carry = mpc_mod.MpcCarry(domain, alpha_buf)
+        toe_xy = rbd.site_positions(M, q)[a1.TOE_SITES][:, 0:2].T
+        out = mpc_mod.run_nmpc(
+            MPC, QP, carry, q[0:2], qd[0:2], toe_xy, ci, pr, prd,
+            p_start, pobs)
+        return out.alpha_com, out.states, out.carry, out.qp_converged
+
+    # ----------------------------- stand-up ------------------------------ #
+    q0 = wb.default_crouch(M)
+    sim = wb.SimState(q0, jnp.zeros(18))
+    ast = agent_mod.init(MO, M, q0)
+    # explicit dtype: a weak-typed scalar here would flip to strong after
+    # the first TROT tick (plan_trot rewrites dom_ticks) and force a 30 s
+    # recompile inside the 1 kHz callback
+    ast = ast._replace(planner=ast.planner._replace(
+        stand_from=q0[0:3], dom_ticks=jnp.asarray(800.0, jnp.float64)))
+
+    @jax.jit
+    def stand(sim, ast):
+        def tick(carry, _):
+            sim, ast = carry
+            force = wb.foot_force_measurement(SIM, M, sim)
+            ll_out, ast, _ = agent_mod.tick(LL, MO, QP, M, Gait.STAND, ast,
+                                            sim.q, sim.qd, force)
+            return (wb.step(SIM, M, sim, ll_out.tau), ast), None
+        (sim, ast), _ = jax.lax.scan(tick, (sim, ast), None, length=1000)
+        return sim, ast
+
+    sim, ast = stand(sim, ast)
+    jax.block_until_ready(sim.q)
+
+    # warm the loop compiles: tick twice feeding outputs back so the real
+    # steady-state input signature (not just the post-stand one) is cached,
+    # then start the loops from the warmed state
+    sim, ast, _, _ = ll_fn(sim, ast)
+    sim, ast, _, _ = ll_fn(sim, ast)
+    c0 = mpc_mod.init_carry(p_start)
+    al_, st_, ca_, _ = hl_fn(c0.gait_domain, c0.alpha_buffer,
+                             sim.q, sim.qd, jnp.ones(4))
+    al_, st_, ca_, _ = hl_fn(ca_.gait_domain, ca_.alpha_buffer,
+                             sim.q, sim.qd, jnp.ones(4))
+    jax.block_until_ready((sim.q, al_))
+    assert ll_fn._cache_size() == 1, "unstable LL tick signature (recompile)"
+    assert hl_fn._cache_size() == 1, "unstable HL cycle signature (recompile)"
+
+    # ------------------------- store + callbacks ------------------------- #
+    lib = runtime.load()
+    store = runtime.SharedStore(lib, n_slots=2, slot_bytes=512)
+
+    holders = {
+        "sim": sim, "ast": ast,
+        "carry": mpc_mod.init_carry(p_start),
+        "plan_applied_ver": 0, "state_seen_ver": 0,
+        "ll_ok": 0, "ll_n": 0, "hl_ok": 0, "hl_n": 0, "mpc_req": 0,
+    }
+
+    def ll_cb(tick):
+        # deliver a fresh plan if the HL published one
+        v = store.version(PLAN_SLOT)
+        if v != holders["plan_applied_ver"] and v > 0:
+            raw = np.frombuffer(store.read(PLAN_SLOT), np.float64, 36)
+            holders["ast"] = agent_mod.set_mpc_data(
+                holders["ast"], jnp.asarray(raw[:20].reshape(4, 5)),
+                jnp.asarray(raw[20:36].reshape(4, 4)))
+            holders["plan_applied_ver"] = v
+        sim, ast, run_mpc, ok = ll_fn(holders["sim"], holders["ast"])
+        holders["sim"], holders["ast"] = sim, ast
+        holders["ll_n"] += 1
+        holders["ll_ok"] += int(ok)
+        if bool(run_mpc):
+            # the trigger tick already advanced con.des to the NEW domain
+            st = np.concatenate([
+                np.asarray(sim.q), np.asarray(sim.qd),
+                np.asarray(ast.con.des, np.float64)])
+            store.write(STATE_SLOT, st.astype(np.float64).tobytes())
+            holders["mpc_req"] += 1
+
+    def hl_cb(_):
+        v = store.version(STATE_SLOT)
+        if v == holders["state_seen_ver"] or v == 0:
+            return              # no pending event — the 20 ms poll idles
+        holders["state_seen_ver"] = v
+        raw = np.frombuffer(store.read(STATE_SLOT), np.float64, 40)
+        carry = holders["carry"]
+        alpha, states, carry, ok = hl_fn(
+            carry.gait_domain, carry.alpha_buffer,
+            jnp.asarray(raw[0:18]), jnp.asarray(raw[18:36]),
+            jnp.asarray(raw[36:40]))
+        holders["carry"] = carry
+        out = np.concatenate([np.asarray(alpha).ravel(),
+                              np.asarray(states).ravel()])
+        store.write(PLAN_SLOT, out.astype(np.float64).tobytes())
+        holders["hl_n"] += 1
+        holders["hl_ok"] += int(ok)
+
+    # unpinned on purpose: this container exposes 2 CPUs, and pinning the
+    # loop threads starves XLA's compute pool (the reference pins on a
+    # multi-core desktop, `driver_scripts/qp_only_exp.cpp:666-668`)
+    ll = runtime.RateLoop(lib, period_us=ll_period_us, callback=ll_cb, cpu=-1)
+    hl = runtime.RateLoop(lib, period_us=20_000, callback=hl_cb, cpu=-1)
+    x_start = float(sim.q[0])
+    hl.start()
+    ll.start()
+    time.sleep(seconds)
+    ll.stop()
+    hl.stop()
+
+    simf = holders["sim"]
+    print(f"ran {seconds}s: LL ticks {holders['ll_n']} "
+          f"(target {seconds/(ll_period_us*1e-6):.0f} @ {ll_period_us} us), "
+          f"HL events served {holders['hl_n']} "
+          f"(requests {holders['mpc_req']}, poll 20 ms)")
+    print(f"LL callback latency p50 {ll.latency_ns(50)/1e3:.0f} us  "
+          f"p99 {ll.latency_ns(99)/1e3:.0f} us  overruns {ll.overruns}")
+    print(f"HL callback latency p50 {hl.latency_ns(50)/1e3:.0f} us  "
+          f"p99 {hl.latency_ns(99)/1e3:.0f} us  overruns {hl.overruns}")
+    print(f"LL-QP converged {holders['ll_ok']}/{holders['ll_n']}  "
+          f"NMPC converged {holders['hl_ok']}/{holders['hl_n']}")
+    print(f"COM: x {x_start:.3f} -> {float(simf.q[0]):.3f} m  "
+          f"z {float(simf.q[2]):.3f} m  domains {int(holders['ast'].gait_domain)}")
+    ll.close()
+    hl.close()
+    store.close()
+
+
+if __name__ == "__main__":
+    main(float(sys.argv[1]) if len(sys.argv) > 1 else 5.0,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 1_000)
