@@ -13,6 +13,7 @@ LL tick < 1 ms (1 kHz), both at B=1.
     python scripts/bench_latency_device.py [reps]
 """
 import dataclasses
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from srbx import agent as agent_mod
 from srbx import mpc as mpc_mod
 from srbx import refplan

@@ -70,8 +70,12 @@ def launch(n_processes: int = 2, devices_per_process: int = 2,
     port = free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
+    # preserve inherited XLA flags; only pin the device count (ADVICE r2)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(
         f"--xla_force_host_platform_device_count={devices_per_process}")
+    env["XLA_FLAGS"] = " ".join(flags)
     env["PYTHONPATH"] = REPO
     procs = [
         subprocess.Popen(
@@ -113,8 +117,9 @@ if __name__ == "__main__":
         sys.exit(0)
     n_proc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     dev_per = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
     t0 = time.perf_counter()
-    stats = launch(n_proc, dev_per)
+    stats = launch(n_proc, dev_per, timeout_s=timeout_s)
     wall = time.perf_counter() - t0
     print(f"multiprocess ok: {n_proc} processes x {dev_per} devices "
           f"({wall:.1f}s)")

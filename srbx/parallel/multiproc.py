@@ -115,7 +115,7 @@ def team_step_check(
     scen_per_shard: int = 2,
     n_agent_shards: int | None = None,
     dtype=None,
-    atol: float = None,
+    atol: float | None = None,
 ) -> dict:
     """Run the sharded team step over the GLOBAL mesh (all processes) and
     assert every addressable shard equals the locally-computed unsharded
