@@ -2,6 +2,14 @@
 through the WHOLE-BODY closed loop (18-DoF physics + 1 kHz LL QP +
 CBF-NMPC), not the template simulator — the exact shape of the reference's
 RaiSim experiment (`src/A1_Sim.cpp:811-1274`), vmapped over scenarios.
+
+    python scripts/campaign_wholebody.py [n_scen] [n_domains] [mode] [est] [ab]
+
+`est`: estimation in the loop (batch modes). `ab`: run BOTH solver legs
+(QP-only vs CBF-SQP — the reference's per-scenario A/B at
+`src/A1_Sim.cpp:983,1167-1176`) and report both success rates. Campaigns
+larger than the worker program-size limit are chunked (same compiled
+program per chunk).
 """
 import sys
 import time
@@ -9,8 +17,9 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import os
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from srbx import refplan
 from srbx.config import LowLevelConfig, MotionConfig, MpcConfig, QpConfig
 from srbx.eval import campaign
@@ -20,10 +29,11 @@ from srbx.sim import closedloop, wholebody as wb
 n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
-# 4th arg "est": ESTIMATION IN THE LOOP — controller consumes only the
+# "est": ESTIMATION IN THE LOOP — controller consumes only the
 # kinEst/KF/prob-contact estimates driven by the synthetic sensor streams
-# (batch modes only)
-use_est = len(sys.argv) > 4 and sys.argv[4] == "est"
+# (batch modes only). "ab": QP-only vs CBF-SQP legs.
+use_est = "est" in sys.argv[4:]
+use_ab = "ab" in sys.argv[4:]
 # Remote-worker program-size limit (this environment): 256 scenarios x 20
 # domains of the whole-body loop runs clean; 512 crashes the TPU worker.
 # Chunk larger campaigns into <=256-scenario programs.
@@ -46,50 +56,82 @@ mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=True,
 ref_cfg = refplan.two_agent_config(loop_size=8_000)
 p_start = jnp.asarray([0.0, 0.0, 0.0, -1.0], dtype)
 
-def one(pobs_s):
-    ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=dtype)
-    return closedloop.run(
-        mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
-        loop, model, ref.pr[0:2], ref.prd[0:2], p_start[:2], pobs_s,
-        dtype=dtype)
+# whole-body program-size chunk limit for this worker (documented in
+# srbx/eval/campaign.py; the batch program holds 256 x 20 cleanly)
+CHUNK = min(n_scen, 256)
+assert n_scen % CHUNK == 0
 
-if mode.startswith("batch"):
-    from srbx.estimation import pipeline
 
-    est_cfg = pipeline.EstConfig() if use_est else None
+def make_fn(use_sqp):
+    cfg = mpc_cfg if use_sqp else MpcConfig(
+        use_sqp=False, condensed=True, elide_box_rows=True,
+        elide_simplex=True)
+    if mode.startswith("batch"):
+        from srbx.estimation import pipeline
 
-    def fn(pobs_b):
-        refs = jax.vmap(lambda p: refplan.generate(ref_cfg, p_start, p,
-                                                   dtype=dtype))(pobs_b)
-        a0 = jnp.broadcast_to(p_start[:2], (n_scen, 2))
-        return closedloop.run_batch(
-            mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
-            loop, model, refs.pr[:, 0:2], refs.prd[:, 0:2], a0, pobs_b,
-            dtype=dtype, backend="fused", tile=256 if n_scen >= 256 else 128,
-            ll_reduced=mode.endswith("-r"),
-            est_cfg=est_cfg, est_key=jax.random.PRNGKey(11))
-    fn = jax.jit(fn)
+        est_cfg = pipeline.EstConfig() if use_est else None
+
+        def fn(pobs_b):
+            refs = jax.vmap(lambda p: refplan.generate(ref_cfg, p_start, p,
+                                                       dtype=dtype))(pobs_b)
+            a0 = jnp.broadcast_to(p_start[:2], (CHUNK, 2))
+            return closedloop.run_batch(
+                cfg, LowLevelConfig(), MotionConfig(), qp_cfg,
+                wb.SimConfig(), loop, model, refs.pr[:, 0:2],
+                refs.prd[:, 0:2], a0, pobs_b, dtype=dtype, backend="fused",
+                tile=256 if CHUNK >= 256 else 128,
+                ll_reduced=mode.endswith("-r"),
+                est_cfg=est_cfg, est_key=jax.random.PRNGKey(11))
+        return jax.jit(fn)
+
+    def one_cfg(pobs_s):
+        ref = refplan.generate(ref_cfg, p_start, pobs_s, dtype=dtype)
+        return closedloop.run(
+            cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
+            loop, model, ref.pr[0:2], ref.prd[0:2], p_start[:2], pobs_s,
+            dtype=dtype)
+    return jax.jit(jax.vmap(one_cfg))
+
+
+def run_leg(label, use_sqp):
+    fn = make_fn(use_sqp)
+    t0 = time.perf_counter()
+    coms, rmses, qpoks = [], [], []
+    for c0 in range(0, n_scen, CHUNK):
+        res = fn(pobs[c0:c0 + CHUNK])
+        coms.append(np.asarray(res.com_hist))
+        qpoks.append(np.atleast_1d(np.asarray(res.qp_ok)))
+        if getattr(res, "est_rmse", None) is not None:
+            rmses.append(np.asarray(res.est_rmse))
+    com = np.concatenate(coms)                    # (S, D, ticks, 3)
+    wall = time.perf_counter() - t0
+
+    xy = com[..., :2].reshape(n_scen, -1, 2)      # (S, T, 2)
+    obs = np.asarray(pobs)                        # (S, 2, 20)
+    d = np.linalg.norm(
+        xy[:, :, None, :] - obs.transpose(0, 2, 1)[:, None], axis=-1)
+    min_clear = d.min(axis=(1, 2))                # (S,)
+    success = min_clear > 0.5
+    print(f"[{label}] scenarios={n_scen} domains={n_domains} "
+          f"wall {wall:.1f}s (incl compile)"
+          + ("  [ESTIMATION IN THE LOOP]" if use_est else ""))
+    print(f"[{label}] success {success.mean()*100:.2f}%  min clearance p50 "
+          f"{np.median(min_clear):.2f} m  worst {min_clear.min():.2f} m  "
+          f"qp_ok {float(np.concatenate(qpoks).mean()):.3f}  "
+          f"finite={np.isfinite(com).all()}", flush=True)
+    if rmses:
+        rmse = np.concatenate(rmses)
+        print(f"[{label}] est RMSE: pos p50 {np.median(rmse[:, 0])*1e3:.1f}"
+              f" mm (worst {rmse[:, 0].max()*1e3:.1f})  vel p50 "
+              f"{np.median(rmse[:, 1]):.3f} m/s "
+              f"(worst {rmse[:, 1].max():.3f})", flush=True)
+    return success
+
+
+if use_ab:
+    s_qp = run_leg("qp-only", False)
+    s_sqp = run_leg("cbf-sqp", True)
+    print(f"A/B: qp-only {s_qp.mean()*100:.2f}%  vs  cbf-sqp "
+          f"{s_sqp.mean()*100:.2f}%  (n={n_scen})", flush=True)
 else:
-    fn = jax.jit(jax.vmap(one))
-t0 = time.perf_counter()
-res = fn(pobs)
-com = np.asarray(res.com_hist)          # (S, D, ticks, 3)
-wall = time.perf_counter() - t0
-
-xy = com[..., :2].reshape(n_scen, -1, 2)          # (S, T, 2)
-obs = np.asarray(pobs)                            # (S, 2, 20)
-d = np.linalg.norm(xy[:, :, None, :] - obs.transpose(0, 2, 1)[:, None], axis=-1)
-min_clear = d.min(axis=(1, 2))                    # (S,)
-success = min_clear > 0.5
-print(f"scenarios={n_scen} domains={n_domains} wall {wall:.1f}s (incl compile)"
-      + ("  [ESTIMATION IN THE LOOP]" if use_est else ""))
-print(f"success {success.mean()*100:.1f}%  min clearance p50 "
-      f"{np.median(min_clear):.2f} m  worst {min_clear.min():.2f} m  "
-      f"qp_ok {float(np.asarray(res.qp_ok).mean()):.3f}  "
-      f"finite={np.isfinite(com).all()}", flush=True)
-if getattr(res, "est_rmse", None) is not None:
-    rmse = np.asarray(res.est_rmse)
-    print(f"est RMSE: pos p50 {np.median(rmse[:, 0])*1e3:.1f} mm "
-          f"(worst {rmse[:, 0].max()*1e3:.1f})  vel p50 "
-          f"{np.median(rmse[:, 1]):.3f} m/s (worst {rmse[:, 1].max():.3f})",
-          flush=True)
+    run_leg("cbf-sqp" if mpc_cfg.use_sqp else "qp-only", mpc_cfg.use_sqp)

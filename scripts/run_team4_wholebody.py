@@ -1,7 +1,14 @@
 """4-agent whole-body team on one chip — the A1_Sim_4_agents workload
 (`src/A1_Sim_4_agents.cpp`) at full fidelity: per-agent 18-DoF physics,
 1 kHz LL QP, event-cadence NMPC with neighbor-state CBF circles, APF refs.
+
+    python scripts/run_team4_wholebody.py [n_domains] [est]
+
+With `est`, every robot runs on its own sensor + kinEst estimates — the
+reference's deployable topology, where the broadcast neighbor 4-state is
+the other robot's ESTIMATE (`qp_only_exp.cpp:256,484` + SET_DATA).
 """
+import os
 import sys
 import time
 
@@ -9,13 +16,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from srbx import refplan
 from srbx.config import LowLevelConfig, MotionConfig, MpcConfig, QpConfig
+from srbx.estimation import pipeline
 from srbx.models import a1
 from srbx.sim import closedloop, wholebody as wb
 
 n_domains = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+est_mode = "est" in sys.argv[1:]
 dtype = jnp.float32
 model = a1.model()
 
@@ -41,13 +50,18 @@ prd = ref.prd.reshape(1, 4, 2, -1)
 agent0 = p_start.reshape(1, 4, 2)
 pobs_b = pobs.reshape(1, 2, -1)
 
+est_cfg = pipeline.EstConfig() if est_mode else None
 fn = jax.jit(lambda: closedloop.run_team_batch(
     mpc_cfg, LowLevelConfig(), MotionConfig(), qp_cfg, wb.SimConfig(),
     loop, model, pr, prd, agent0, pobs_b, dtype=dtype,
-    backend="fused", tile=128, ll_reduced=True))
+    backend="fused", tile=128, ll_reduced=True, est_cfg=est_cfg,
+    est_key=jax.random.PRNGKey(11)))
 t0 = time.perf_counter()
 res = fn()
-sims, com_ends, margins, llok = res
+if est_mode:
+    sims, com_ends, margins, llok, est_rmse = res
+else:
+    sims, com_ends, margins, llok = res
 _ = np.asarray(com_ends[:1])
 wall = time.perf_counter() - t0
 # com_ends (D, 1, A, 3) -> (D, A, 3); margins (D, 1, A); llok (D, 1)
@@ -60,4 +74,9 @@ dmin = min(np.linalg.norm(final[i] - final[j]) for i, j in itertools.combination
 print(f"final agent xy:\n{np.round(final, 3)}")
 print(f"min inter-agent distance {dmin:.2f} m; min CBF margin {mg.min():.2f}; LL-QP ok {lk.mean():.3f}")
 assert np.isfinite(ce).all()
+if est_mode:
+    r = np.asarray(est_rmse)[0]                  # (A, 2)
+    print("per-robot est RMSE: pos(mm) "
+          f"{np.round(r[:, 0] * 1e3, 2).tolist()}  vel(m/s) "
+          f"{np.round(r[:, 1], 3).tolist()}")
 print(f"wall incl compile {wall:.1f}s", flush=True)

@@ -47,8 +47,17 @@ class EstConfig:
     # KF's (accel_noise·dt)² velocity process noise makes v chase the
     # per-tick kinematic innovations, so odometry wins at 1 kHz.
     source: str = "kinest"
-    kf_accel_noise: float = 2000.0   # reference default (`src/kalman.cpp`)
-    kf_meas_noise: float = 1.0
+    # KF noise values. The reference ships accel sd 2000 / meas var 1 /
+    # swing sd 1e6 (`src/kalman.cpp:5-13,53-56`) — but never consumes the
+    # KF estimate anywhere (`src/A1_Exp.cpp:254-264` comments the handoff
+    # out, "temporary until the kalman filter is done"). Tuned-to-sensor
+    # defaults here (see scripts/tune_kf.py + docs/ROUND3.md): accel sd
+    # matches the IMU noise model, meas var ~(1 mm)², swing sd 1e3 stays
+    # inside the f32 sequential-update precision envelope while remaining
+    # effectively free-floating.
+    kf_accel_noise: float = 0.5
+    kf_meas_noise: float = 1e-5
+    kf_swing_noise: float = 1e3
     contact_force_thresh: float = 15.0  # N, matches agent.tick_build
 
 
@@ -121,6 +130,7 @@ def update(cfg: EstConfig, sim_cfg: wb.SimConfig, model: rbd.Model,
         est.kf, contact_ind, rd.imu_accel, rot, -toes_rel,
         dt=sim_cfg.dt, accel_noise=cfg.kf_accel_noise,
         meas_noise=cfg.kf_meas_noise, g=model.g,
+        swing_noise=cfg.kf_swing_noise,
     )
 
     # --- kinEst: stance-anchored odometry ---

@@ -517,6 +517,8 @@ def run_team_batch(
     tile: int = 256,
     ll_reduced: bool = False,
     ll_qp_cfg: QpConfig | None = None,
+    est_cfg=None,
+    est_key=None,
 ):
     """Scenario-batched multi-agent team loop: run_team with a scenario
     axis, flattened to (S*A) solver lanes — whole-body multi-robot teams at
@@ -525,10 +527,20 @@ def run_team_batch(
     1 kHz LL QP and every domain's NMPC across all scenarios and agents is
     ONE batched/fused solve.
 
-    Returns (sims, com_ends (D, S, A, 3), margins (D, S, A), llok (D, S)).
+    est_cfg (an `srbx.estimation.pipeline.EstConfig`): estimation in the
+    loop PER ROBOT — each agent lane runs its own sensors + kinEst/KF
+    pipeline, the LL ticks and HL replans consume estimates, and the
+    neighbor 4-state each agent broadcasts is its ESTIMATE (on hardware the
+    reference shares `q/dq` that kinEst0/1 wrote into the store, never
+    truth: `driver_scripts/qp_only_exp.cpp:256,484` then SET_DATA at
+    `:262-265`). Ground truth stays inside the plant+sensor model.
+
+    Returns (sims, com_ends (D, S, A, 3), margins (D, S, A), llok (D, S));
+    with est_cfg, a 5th element est_rmse (S, A, 2) is appended.
     """
     from srbx import mpc_batch
     from srbx import motion as motion_mod
+    from srbx.estimation import pipeline
 
     ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
     n_scen, n_agents = agent_initials.shape[0:2]
@@ -539,24 +551,34 @@ def run_team_batch(
     pobs_l = jnp.repeat(pobs_real.astype(dtype), n_agents, axis=0)
 
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model, a0_l, dtype)
-    sims, asts, _ = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
-                                 model, sims, asts, backend, tile, ll_reduced)
+    ests = (_init_ests(est_cfg, model, sims, est_key)
+            if est_cfg is not None else None)
+    sims, asts, ests = _stand_phase(
+        ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model, sims, asts,
+        backend, tile, ll_reduced, est_cfg=est_cfg, ests=ests)
+
+    trot_dom_ticks = float(motion_cfg.trot_dom_ticks)
 
     def domain_step(carry, dom_idx):
-        sims, asts, mcarries = carry
-        states4 = jnp.concatenate([sims.q[:, 0:2], sims.qd[:, 0:2]], axis=1)
+        sims, asts, mcarries, ests = carry
+        # HL state view: per-robot estimates when estimation is in the
+        # loop — including the broadcast neighbor 4-state, which on
+        # hardware is the estimate the other robot wrote to the store
+        q_view = sims.q if est_cfg is None else ests.q_hat
+        qd_view = sims.qd if est_cfg is None else ests.qd_hat
+        states4 = jnp.concatenate([q_view[:, 0:2], qd_view[:, 0:2]], axis=1)
         others = jnp.roll(
             states4.reshape(n_scen, n_agents, 4), shift=-1, axis=1
         ).reshape(n_lanes, 4)
 
         toe_xy = jax.vmap(
-            lambda s: rbd.site_positions(model, s.q)[a1.TOE_SITES][:, 0:2].T
-        )(sims)
+            lambda q: rbd.site_positions(model, q)[a1.TOE_SITES][:, 0:2].T
+        )(q_view)
         contact_ind = jax.vmap(
             lambda a: motion_mod.next_trot_domain(a.con.des).astype(dtype)
         )(asts)
         out = mpc_batch.run_nmpc_batch(
-            mpc_cfg, qp_cfg, mcarries, sims.q[:, 0:2], sims.qd[:, 0:2],
+            mpc_cfg, qp_cfg, mcarries, q_view[:, 0:2], qd_view[:, 0:2],
             toe_xy, contact_ind, pr_l, prd_l, a0_l, pobs_l,
             backend=backend, tile=tile,
             state_other=others, agent_circle_eps=mpc_cfg.cbf_eps,
@@ -564,36 +586,50 @@ def run_team_batch(
         asts2 = jax.vmap(agent_mod.set_mpc_data)(asts, out.alpha_com, out.states)
 
         def ll_tick(carry, k):
-            sims, asts = carry
-            forces = jax.vmap(
-                lambda s: wb.foot_force_measurement(sim_cfg, model, s)
-            )(sims)
+            sims, asts, ests = carry
+            phases = asts.loco_tick / trot_dom_ticks
+            ests, qs, qds, forces = _ctrl_inputs(
+                est_cfg, sim_cfg, model, ests, sims, phases)
+            if est_cfg is not None:
+                errsq = jnp.stack(
+                    [jnp.sum((qs[:, 0:3] - sims.q[:, 0:3]) ** 2, axis=-1),
+                     jnp.sum((qds[:, 0:3] - sims.qd[:, 0:3]) ** 2, axis=-1)],
+                    axis=-1,
+                )                                  # (S*A, 2)
+            else:
+                errsq = jnp.zeros((n_lanes, 2), dtype)
             ll_outs, asts, _ = _tick_batch(
                 ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
-                sims.q, sims.qd, forces, backend, tile,
+                qs, qds, forces, backend, tile,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
                 reduced=ll_reduced,
             )
+            if est_cfg is not None:
+                ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
             asts = asts._replace(mpc_available=jnp.logical_or(
                 asts.mpc_available, k >= loop.mpc_latency_ticks))
             sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
                 sims, ll_outs.tau
             )
-            return (sims, asts), ll_outs.qp_converged
+            return (sims, asts, ests), (ll_outs.qp_converged, errsq)
 
-        (sims, asts3), ok = jax.lax.scan(
-            ll_tick, (sims, asts2), jnp.arange(loop.ticks_per_domain)
+        (sims, asts3, ests), (ok, errsq) = jax.lax.scan(
+            ll_tick, (sims, asts2, ests), jnp.arange(loop.ticks_per_domain)
         )
         com = sims.q[:, 0:3].reshape(n_scen, n_agents, 3)
         llok = jnp.mean(ok.astype(dtype), axis=0).reshape(n_scen, n_agents)
-        return (sims, asts3, out.carry), (
-            com, out.cbf_margin.reshape(n_scen, n_agents), llok.mean(axis=1)
+        return (sims, asts3, out.carry, ests), (
+            com, out.cbf_margin.reshape(n_scen, n_agents), llok.mean(axis=1),
+            jnp.mean(errsq, axis=0),
         )
 
-    (sims, asts, mcarries), (com_ends, margins, llok) = jax.lax.scan(
-        domain_step, (sims, asts, mcarries), jnp.arange(loop.n_domains)
-    )
-    return sims, com_ends, margins, llok
+    (sims, asts, mcarries, ests), (com_ends, margins, llok, errsq) = (
+        jax.lax.scan(domain_step, (sims, asts, mcarries, ests),
+                     jnp.arange(loop.n_domains)))
+    if est_cfg is None:
+        return sims, com_ends, margins, llok
+    est_rmse = jnp.sqrt(jnp.mean(errsq, axis=0)).reshape(n_scen, n_agents, 2)
+    return sims, com_ends, margins, llok, est_rmse
 
 
 class EventBatchResult(NamedTuple):
@@ -710,11 +746,16 @@ def run_batch_event(
         phases = asts.loco_tick / trot_dom_ticks
         ests, qs, qds, forces = _ctrl_inputs(
             est_cfg, sim_cfg, model, ests, sims, phases)
-        errsq = jnp.stack(
-            [jnp.sum((qs[:, 0:3] - sims.q[:, 0:3]) ** 2, axis=-1),
-             jnp.sum((qds[:, 0:3] - sims.qd[:, 0:3]) ** 2, axis=-1)],
-            axis=-1,
-        )                                          # (B, 2)
+        # estimate-error accumulator only exists in the estimation path;
+        # the ground-truth program is structurally unchanged (ADVICE r2)
+        if est_cfg is not None:
+            errsq = jnp.stack(
+                [jnp.sum((qs[:, 0:3] - sims.q[:, 0:3]) ** 2, axis=-1),
+                 jnp.sum((qds[:, 0:3] - sims.qd[:, 0:3]) ** 2, axis=-1)],
+                axis=-1,
+            )                                      # (B, 2)
+        else:
+            errsq = jnp.zeros((qs.shape[0], 2), qs.dtype)
         ll_outs, asts, run_mpc = _tick_batch(
             ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
             qs, qds, forces, backend, tile,

@@ -188,3 +188,40 @@ def test_ground_truth_path_unchanged():
         MpcConfig(use_sqp=False), LL, MO, QP, SIM, loop, M, pr, prd, a0,
         pobs, backend="xla"))()
     assert res.est_rmse is None
+
+
+def test_team_batch_estimation_smoke():
+    """run_team_batch(est_cfg=...): per-robot estimator lanes, HL/LL and
+    the broadcast neighbor 4-state all consume estimates (the reference
+    shares the kinEst-written store state, `qp_only_exp.cpp:256,484` +
+    SET_DATA `:262-265`). Tiny shapes: shapes/arity/finiteness + the
+    ground-truth path keeps the 4-tuple return."""
+    S, A = 2, 2
+    traj = refplan.generate(
+        refplan.two_agent_config(loop_size=2_000),
+        jnp.asarray([0.0, 0.0, 0.0, -1.0]), jnp.full((2, 20), 100.0))
+    loop = closedloop.LoopConfig(stand_ticks=100, n_domains=1,
+                                 ticks_per_domain=20)
+    pr = jnp.broadcast_to(
+        jnp.stack([traj.pr[0:2], traj.pr[2:4]]), (S, A, 2, traj.pr.shape[-1]))
+    prd = jnp.broadcast_to(
+        jnp.stack([traj.prd[0:2], traj.prd[2:4]]),
+        (S, A, 2, traj.pr.shape[-1]))
+    a0 = jnp.broadcast_to(jnp.asarray([[0.0, 0.0], [0.0, -1.0]]), (S, A, 2))
+    pobs = jnp.full((S, 2, 20), 100.0)
+    out = jax.jit(lambda: closedloop.run_team_batch(
+        MpcConfig(use_sqp=False), LL, MO, QP, SIM, loop, M, pr, prd, a0,
+        pobs, backend="xla", est_cfg=pipeline.EstConfig(),
+        est_key=jax.random.PRNGKey(5)))()
+    assert len(out) == 5
+    sims, com_ends, margins, llok, est_rmse = out
+    assert est_rmse.shape == (S, A, 2)
+    r = np.asarray(est_rmse)
+    assert np.isfinite(np.asarray(sims.q)).all()
+    # short window right after stand-up: loose sanity bounds only
+    assert r[:, :, 0].max() < 0.05 and r[:, :, 1].max() < 0.5
+
+    out4 = jax.jit(lambda: closedloop.run_team_batch(
+        MpcConfig(use_sqp=False), LL, MO, QP, SIM, loop, M, pr, prd, a0,
+        pobs, backend="xla"))()
+    assert len(out4) == 4
