@@ -1,8 +1,7 @@
 """FULL-FIDELITY host deployment: the 18-DoF whole-body control chain driven
-by the native dual-rate runtime — `agent.tick` (estimation-free hardware
-topology: VC → LL QP → torque) + compliant-ground plant at a true 1 kHz
-`RateLoop`, event-based NMPC served by a second 20 ms-polled loop, the two
-exchanging state/plan through the seqlock `SharedStore`.
+by the native dual-rate runtime — `agent.tick` + compliant-ground plant at a
+true 1 kHz `RateLoop`, event-based NMPC served by a second 20 ms-polled
+loop, the two exchanging state/plan through the seqlock `SharedStore`.
 
 This is the deployment shape of the reference's hardware driver
 (`driver_scripts/qp_only_exp.cpp:156-370`: `ExternalComm::Calc` @1 ms and
@@ -12,11 +11,18 @@ template of examples/run_host.py — in the loop. The plant stands in for the
 robot+SDK; everything the controller consumes crosses the store, nothing
 else does.
 
+`--est` runs the full deployable topology: the controller NEVER reads the
+plant — every 1 ms tick synthesizes IMU/encoder/foot-force measurements
+(srbx.sim.sensors), runs kinEst + contact gating (srbx.estimation.pipeline),
+and the tick (and the 4-state the store carries to the NMPC thread) consumes
+the ESTIMATE, exactly as the reference's drivers run `kinEst0/1` per tick
+and SET_DATA the estimator-written state (`qp_only_exp.cpp:256,484`).
+
 Runs on the host CPU (the reference's 1 kHz chain also runs on the robot's
 host PC): per-call device latencies at B=1 are µs-scale there, so the 1 ms
 deadline is real. Run with JAX_PLATFORMS=cpu (forced below).
 
-    python examples/run_host_wholebody.py [seconds]
+    python examples/run_host_wholebody.py [seconds] [ll_period_us] [--est]
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ from srbx import agent as agent_mod
 from srbx import mpc as mpc_mod
 from srbx import refplan, runtime
 from srbx.config import Gait, LowLevelConfig, MotionConfig, MpcConfig, QpConfig
+from srbx.estimation import pipeline
 from srbx.models import a1, rbd
 from srbx.sim import wholebody as wb
 
@@ -55,9 +62,11 @@ M = a1.model()
 LL, MO, QP, SIM = (LowLevelConfig(), MotionConfig(), QpConfig(),
                    wb.SimConfig())
 MPC = MpcConfig(use_sqp=True, sqp_iters=1)
+EST = pipeline.EstConfig()
 
 
-def main(seconds: float = 5.0, ll_period_us: int = 1_000):
+def main(seconds: float = 5.0, ll_period_us: int = 1_000,
+         use_est: bool = False):
     p_start = jnp.asarray([0.0, 0.0], jnp.float64)
     pobs = jnp.full((2, 20), 100.0)
     ref = refplan.generate(
@@ -74,19 +83,45 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000):
 
     QP_LL = _dc.replace(QP, ruiz_iters=max(QP.ruiz_iters, 5))
 
-    @jax.jit
-    def ll_fn(sim, ast):
-        force = wb.foot_force_measurement(SIM, M, sim)
+    def _ll_tick(sim, ast, est, gait):
+        """One controller+plant tick; with est, the controller (and the
+        4-state later SET into the store) sees only the estimate."""
+        if est is None:
+            q_c, qd_c = sim.q, sim.qd
+            force = wb.foot_force_measurement(SIM, M, sim)
+        else:
+            phase = ast.loco_tick / jnp.maximum(ast.planner.dom_ticks, 1.0)
+            est, out = pipeline.update(EST, SIM, M, est, sim, phase)
+            q_c, qd_c, force = out.q_hat, out.qd_hat, out.foot_force
         data, ctx = agent_mod.tick_build(
-            LL, MO, M, Gait.TROT, ast, sim.q, sim.qd, force,
+            LL, MO, M, gait, ast, q_c, qd_c, force,
             allow_contact_trigger=True, reduced=True)
         with jax.default_matmul_precision("highest"):
             sol = qp_mod.solve(data.P, data.c, data.A, data.b, data.G,
                                data.h, QP_LL)
         ll_out, ast, run_mpc = agent_mod.tick_finish(
-            LL, ctx, sim.q, sim.qd, sol.x, sol.converged, reduced=True)
+            LL, ctx, q_c, qd_c, sol.x, sol.converged, reduced=True)
+        if est is not None:
+            est = pipeline.set_contact_ind(est, ast.con.ind)
         sim = wb.step(SIM, M, sim, ll_out.tau)
-        return sim, ast, run_mpc, ll_out.qp_converged
+        return sim, ast, est, run_mpc, ll_out.qp_converged
+
+    if use_est:
+        @jax.jit
+        def ll_fn(sim, ast, est):
+            sim, ast, est, run_mpc, ok = _ll_tick(sim, ast, est, Gait.TROT)
+            # base pos/vel estimate error vs truth (report-only; the
+            # controller never sees these)
+            err = jnp.stack([
+                jnp.linalg.norm(est.q_hat[0:3] - sim.q[0:3]),
+                jnp.linalg.norm(est.qd_hat[0:3] - sim.qd[0:3]),
+            ])
+            return sim, ast, est, run_mpc, ok, err
+    else:
+        @jax.jit
+        def ll_fn(sim, ast):
+            sim, ast, _, run_mpc, ok = _ll_tick(sim, ast, None, Gait.TROT)
+            return sim, ast, run_mpc, ok
 
     @jax.jit
     def hl_fn(domain, alpha_buf, q, qd, ci):
@@ -107,25 +142,31 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000):
     ast = ast._replace(planner=ast.planner._replace(
         stand_from=q0[0:3], dom_ticks=jnp.asarray(800.0, jnp.float64)))
 
-    @jax.jit
-    def stand(sim, ast):
-        def tick(carry, _):
-            sim, ast = carry
-            force = wb.foot_force_measurement(SIM, M, sim)
-            ll_out, ast, _ = agent_mod.tick(LL, MO, QP, M, Gait.STAND, ast,
-                                            sim.q, sim.qd, force)
-            return (wb.step(SIM, M, sim, ll_out.tau), ast), None
-        (sim, ast), _ = jax.lax.scan(tick, (sim, ast), None, length=1000)
-        return sim, ast
+    est = (pipeline.init(EST, M, wb.SimState(q0, jnp.zeros(18)),
+                         jax.random.PRNGKey(7)) if use_est else None)
 
-    sim, ast = stand(sim, ast)
+    @jax.jit
+    def stand(sim, ast, est):
+        def tick(carry, _):
+            sim, ast, est = carry
+            sim, ast, est, _, _ = _ll_tick(sim, ast, est, Gait.STAND)
+            return (sim, ast, est), None
+        (sim, ast, est), _ = jax.lax.scan(tick, (sim, ast, est), None,
+                                          length=1000)
+        return sim, ast, est
+
+    sim, ast, est = stand(sim, ast, est)
     jax.block_until_ready(sim.q)
 
     # warm the loop compiles: tick twice feeding outputs back so the real
     # steady-state input signature (not just the post-stand one) is cached,
     # then start the loops from the warmed state
-    sim, ast, _, _ = ll_fn(sim, ast)
-    sim, ast, _, _ = ll_fn(sim, ast)
+    if use_est:
+        sim, ast, est, _, _, _ = ll_fn(sim, ast, est)
+        sim, ast, est, _, _, _ = ll_fn(sim, ast, est)
+    else:
+        sim, ast, _, _ = ll_fn(sim, ast)
+        sim, ast, _, _ = ll_fn(sim, ast)
     c0 = mpc_mod.init_carry(p_start)
     al_, st_, ca_, _ = hl_fn(c0.gait_domain, c0.alpha_buffer,
                              sim.q, sim.qd, jnp.ones(4))
@@ -140,10 +181,11 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000):
     store = runtime.SharedStore(lib, n_slots=2, slot_bytes=512)
 
     holders = {
-        "sim": sim, "ast": ast,
+        "sim": sim, "ast": ast, "est": est,
         "carry": mpc_mod.init_carry(p_start),
         "plan_applied_ver": 0, "state_seen_ver": 0,
         "ll_ok": 0, "ll_n": 0, "hl_ok": 0, "hl_n": 0, "mpc_req": 0,
+        "err_sq": np.zeros(2), "err_n": 0,
     }
 
     def ll_cb(tick):
@@ -155,14 +197,25 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000):
                 holders["ast"], jnp.asarray(raw[:20].reshape(4, 5)),
                 jnp.asarray(raw[20:36].reshape(4, 4)))
             holders["plan_applied_ver"] = v
-        sim, ast, run_mpc, ok = ll_fn(holders["sim"], holders["ast"])
+        if use_est:
+            sim, ast, est, run_mpc, ok, err = ll_fn(
+                holders["sim"], holders["ast"], holders["est"])
+            holders["est"] = est
+            holders["err_sq"] += np.asarray(err) ** 2
+            holders["err_n"] += 1
+            # what crosses the store is the ESTIMATE (the reference SET_DATAs
+            # the kinEst-written state, `qp_only_exp.cpp:256,484`)
+            q_hl, qd_hl = est.q_hat, est.qd_hat
+        else:
+            sim, ast, run_mpc, ok = ll_fn(holders["sim"], holders["ast"])
+            q_hl, qd_hl = sim.q, sim.qd
         holders["sim"], holders["ast"] = sim, ast
         holders["ll_n"] += 1
         holders["ll_ok"] += int(ok)
         if bool(run_mpc):
             # the trigger tick already advanced con.des to the NEW domain
             st = np.concatenate([
-                np.asarray(sim.q), np.asarray(sim.qd),
+                np.asarray(q_hl), np.asarray(qd_hl),
                 np.asarray(ast.con.des, np.float64)])
             store.write(STATE_SLOT, st.astype(np.float64).tobytes())
             holders["mpc_req"] += 1
@@ -210,11 +263,18 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000):
           f"NMPC converged {holders['hl_ok']}/{holders['hl_n']}")
     print(f"COM: x {x_start:.3f} -> {float(simf.q[0]):.3f} m  "
           f"z {float(simf.q[2]):.3f} m  domains {int(holders['ast'].gait_domain)}")
+    if use_est and holders["err_n"]:
+        rmse = np.sqrt(holders["err_sq"] / holders["err_n"])
+        print(f"estimation (controller ran on estimates): base pos RMSE "
+              f"{rmse[0]*1e3:.1f} mm  vel RMSE {rmse[1]:.3f} m/s "
+              f"over {holders['err_n']} ticks")
     ll.close()
     hl.close()
     store.close()
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]) if len(sys.argv) > 1 else 5.0,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 1_000)
+    args = [a for a in sys.argv[1:] if a != "--est"]
+    main(float(args[0]) if len(args) > 0 else 5.0,
+         int(args[1]) if len(args) > 1 else 1_000,
+         use_est="--est" in sys.argv[1:])
