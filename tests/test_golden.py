@@ -102,3 +102,78 @@ def test_golden_wholebody_trajectory():
                                np.asarray(gold["final_q"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(res.qp_ok),
                                np.asarray(gold["qp_ok"]), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_golden_event_loop():
+    """Event-DRIVEN loop at fixed seeds: the per-lane trigger tick pattern
+    is frozen EXACTLY (a changed trigger tick = changed event semantics);
+    trajectory to integration tolerance."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from make_golden import _event_loop_args
+    from srbx.sim import closedloop
+
+    gold = _load("event_loop")
+    cfgs, kw = _event_loop_args()
+    res = jax.jit(lambda: closedloop.run_batch_event(*cfgs, **kw))()
+    trig = np.asarray(res.trigger_hist)
+    for lane, expect in enumerate(gold["trigger_ticks"]):
+        np.testing.assert_array_equal(np.nonzero(trig[lane])[0],
+                                      np.asarray(expect, int))
+    np.testing.assert_array_equal(np.asarray(res.domains),
+                                  np.asarray(gold["domains"]))
+    np.testing.assert_array_equal(np.asarray(res.mpc_solves),
+                                  np.asarray(gold["mpc_solves"]))
+    np.testing.assert_allclose(np.asarray(res.com_hist)[:, ::20, :],
+                               np.asarray(gold["com_subsampled"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.sim.q),
+                               np.asarray(gold["final_q"]), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_golden_est_loop():
+    """Estimation-in-the-loop run_batch at a fixed sensor key: frozen RMSE
+    (sensor/kinEst/KF drift detector) + trajectory."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from make_golden import _est_loop_args
+    from srbx.sim import closedloop
+
+    gold = _load("est_loop")
+    cfgs, kw = _est_loop_args()
+    res = jax.jit(lambda: closedloop.run_batch(*cfgs, **kw))()
+    np.testing.assert_allclose(np.asarray(res.est_rmse),
+                               np.asarray(gold["est_rmse"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.com_hist)[:, :, ::20, :],
+                               np.asarray(gold["com_subsampled"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.sim.q),
+                               np.asarray(gold["final_q"]), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_golden_team():
+    """4-agent team loop: frozen CBF margins, COM endpoints, convergence."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from make_golden import _team_args
+    from srbx.sim import closedloop
+
+    gold = _load("team")
+    cfgs, kw = _team_args()
+    sims, com_ends, margins, llok = jax.jit(
+        lambda: closedloop.run_team_batch(*cfgs, **kw))()
+    np.testing.assert_allclose(np.asarray(com_ends),
+                               np.asarray(gold["com_ends"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(margins),
+                               np.asarray(gold["margins"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(llok),
+                               np.asarray(gold["llok"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sims.q),
+                               np.asarray(gold["final_q"]), atol=1e-5)
