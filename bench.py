@@ -84,7 +84,12 @@ def main():
     pobs_b = jnp.tile(pobs, (batch, 1, 1))
     toes = jnp.tile(default_footholds(agent0), (batch, 1, 1))
 
-    def fn(dom, alpha, q, dq, ci):
+    # The big per-lane operands are jit ARGUMENTS, not closure constants:
+    # embedded constants are serialized into the HLO proto shipped to the
+    # remote compiler, whose request-body limit (~256 MiB) they exceed at
+    # B >= 163840 (measured: 225 MB at 131072 compiles, 281 MB at 163840 is
+    # rejected HTTP 413 — scripts/probe_program_limits.py, docs/ROUND3.md).
+    def fn(dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b):
         out = mpc_batch.run_nmpc_batch(
             cfg, qp_cfg, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
             pr, prd, a0s, pobs_b, backend=backend, tile=tile, condensed=True,
@@ -92,16 +97,17 @@ def main():
         return out.states, out.alpha_com
 
     jfn = jax.jit(fn)
+    args = (dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b)
 
     # compile + warmup (hard host sync — block_until_ready does not reliably
     # block through the remote-TPU tunnel)
-    out = jfn(dom, alpha, q, dq, ci)
+    out = jfn(*args)
     _ = np.asarray(out[0][:1])
 
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jfn(dom, alpha, q, dq, ci)
+        out = jfn(*args)
         _ = np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 

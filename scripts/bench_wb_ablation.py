@@ -36,7 +36,7 @@ ll_qp_cfg = cl._resolve_ll_qp_cfg(qp_cfg, reduced, None)
 
 a0 = jnp.zeros((B, 2), dtype) + jnp.linspace(0, 0.01, B, dtype=dtype)[:, None]
 sims, asts, _ = cl._init_lanes(motion_cfg, loop, model, a0, dtype)
-sims, asts = jax.jit(lambda s, a: cl._stand_phase(
+sims, asts, _ = jax.jit(lambda s, a: cl._stand_phase(
     ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model, s, a,
     BACKEND, 256, reduced))(sims, asts)
 _ = np.asarray(sims.q[:1])

@@ -21,6 +21,11 @@ from srbx.sim import closedloop, wholebody as wb
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
+# "cond": condensed+elided NMPC formulation (the campaign/team scripts'
+# production operating point). The full-shape fused SQP kernel at B>=512
+# OOM-kills the remote compile helper (SIGKILL, docs/ROUND3.md); the
+# condensed kernel compiles ~25x faster and scales past it.
+condensed = "cond" in sys.argv[4:]
 dtype = jnp.float32
 model = a1.model()
 
@@ -32,7 +37,8 @@ ref = refplan.generate(ref_cfg, p_start, pobs, dtype=dtype)
 loop = closedloop.LoopConfig(stand_ticks=800, n_domains=n_domains)
 qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
                   max_iters=12)
-mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1)
+mpc_cfg = MpcConfig(use_sqp=True, sqp_iters=1, condensed=condensed,
+                    elide_box_rows=condensed, elide_simplex=condensed)
 
 def one(a0_shift):
     a0 = p_start[:2] + a0_shift

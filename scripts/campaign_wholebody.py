@@ -34,9 +34,11 @@ mode = sys.argv[3] if len(sys.argv) > 3 else "vmap"   # vmap | batch | batch-r
 # (batch modes only). "ab": QP-only vs CBF-SQP legs.
 use_est = "est" in sys.argv[4:]
 use_ab = "ab" in sys.argv[4:]
-# Remote-worker program-size limit (this environment): 256 scenarios x 20
-# domains of the whole-body loop runs clean; 512 crashes the TPU worker.
-# Chunk larger campaigns into <=256-scenario programs.
+# Chunk size: the whole-body campaign program is statically tiny (7.8 MB
+# HLO proto, <=220 MB HBM at S=512 — srbx/eval/limits.py); the historical
+# "512 crashes the worker" was the load-dependent compile-helper OOM
+# (mode B, docs/ROUND3.md §1). 256/chunk keeps each compile small and
+# reuses one compiled program across chunks.
 dtype = jnp.float32
 model = a1.model()
 

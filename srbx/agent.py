@@ -97,9 +97,13 @@ def tick_build(
     f_des=None,
     allow_contact_trigger: bool = True,
     reduced: bool = False,
+    d_inv=None,
 ):
     """Everything in a control tick up to (but excluding) the LL-QP solve:
     phase/domain logic, planning, virtual constraints, QP assembly.
+
+    d_inv: optional precomputed D(q)^-1 for the LL build (batch callers
+    invert all lanes through one lanes-last SPD kernel, srbx.ops.spd).
 
     Returns (lowlevel.LLQpData, TickCtx). tick == build -> qp.solve ->
     tick_finish; batch callers vmap this, run ONE batched/fused solve over
@@ -272,7 +276,8 @@ def tick_build(
         f_des = jnp.zeros((12,), dtype)
     build = lowlevel.ll_qp_build_reduced if reduced else lowlevel.ll_qp_build
     with jax.default_matmul_precision("highest"):
-        data, ll_ctx = build(ll_cfg, model, q, qd, ci, vc, f_des)
+        data, ll_ctx = build(ll_cfg, model, q, qd, ci, vc, f_des,
+                             d_inv=d_inv)
 
     state_pre = AgentState(
         loco_tick=loco_tick + 1.0,
@@ -295,12 +300,17 @@ def tick_finish(
     sol_x,
     converged,
     reduced: bool = False,
+    delta=None,
 ):
     """Complete a tick from the solved LL QP: torque math + state update.
-    Returns (ll_out, new_state, run_mpc)."""
+    Returns (ll_out, new_state, run_mpc).
+
+    delta: optional precomputed swing operational-space inertia inverse
+    (lowlevel.swing_delta_inv), batch-inverted by srbx.ops.spd."""
     finish = lowlevel.ll_qp_finish_reduced if reduced else lowlevel.ll_qp_finish
     with jax.default_matmul_precision("highest"):
-        ll_out = finish(ll_cfg, ctx.ll_ctx, q, qd, ctx.vc, sol_x, converged)
+        ll_out = finish(ll_cfg, ctx.ll_ctx, q, qd, ctx.vc, sol_x, converged,
+                        delta=delta)
     return ll_out, ctx.state_pre._replace(prev_ddq=ll_out.ddq), ctx.run_mpc
 
 

@@ -415,11 +415,19 @@ def run_campaign_chunked(
 ) -> CampaignResult:
     """run_campaign split into <=max_chunk-scenario jitted programs.
 
-    Rationale: one 1024-scenario CBF-SQP campaign (2048 agent-lanes x 120
-    domains in a single program) deterministically crashes the remote TPU
-    worker in this environment; 512 runs clean. Chunking is also the honest
-    production shape — each chunk reuses the same compiled program, so
-    steady-state throughput is unchanged.
+    History: round 1 recorded "1024 scenarios deterministically crashes the
+    remote TPU worker; 512 runs clean" and max_chunk=512 was folklore.
+    Round 3 bisected it (scripts/probe_program_limits.py, srbx/eval/limits
+    .py, docs/ROUND3.md §1): the campaign program is statically tiny —
+    ~1.22 MB HBM per scenario on both solver paths (1.25 GB at S=1024) and
+    a size-independent 0.3 MB HLO proto — so neither the compile-request
+    limit (mode A) nor HBM (mode C) is in play below ~10k scenarios. The
+    historical crash was the WORKER-SIDE compile-helper OOM (mode B),
+    which is load-dependent, not a function of scenario count. Chunking
+    remains useful as the honest production shape (each chunk reuses one
+    compiled program, so steady-state throughput is unchanged) and to keep
+    any one compile small; use srbx.eval.limits.preflight to check a
+    program against the measured limits before running it.
 
     batch_backend: when set (e.g. "fused"), chunks run through
     run_campaign_batch with that solver backend instead of the per-agent

@@ -257,6 +257,7 @@ def ll_qp_build(
     vc: VcOut,
     f_des,
     include_coriolis: bool = False,
+    d_inv=None,
 ):
     """Assemble the LL QP (the cost/constraints build of
     `LowLevelCtrl::calcTorque`, `src/LowLevelCtrl.cpp:115-225`) without
@@ -264,15 +265,19 @@ def ll_qp_build(
     solves through one fused kernel (srbx.ops.qp_fused) and then apply
     ll_qp_finish per lane. calc_torque == build -> qp.solve -> finish.
 
+    d_inv: optional precomputed D(q)^-1. Batch callers compute it for ALL
+    lanes through one lanes-last SPD kernel (srbx.ops.spd) — the per-lane
+    jnp.linalg.inv here is a measured hot spot (scripts/bench_rbd_stages.py).
+
     Call under jax.default_matmul_precision("highest") on TPU (see
     calc_torque's docstring); vmapping this function preserves the context
     of the caller.
     """
     dtype = q.dtype
     nq = TOTAL_DOF
-    d_mat = rbd.mass_matrix(model, q)
     h_bias = rbd.bias_forces(model, q, qd, include_coriolis=include_coriolis)
-    d_inv = jnp.linalg.inv(d_mat)
+    if d_inv is None:
+        d_inv = jnp.linalg.inv(rbd.mass_matrix(model, q))
     b_mat = jnp.zeros((nq, 12), dtype).at[6:, :].set(jnp.eye(12, dtype=dtype))
 
     sites_j = rbd.site_jacobians(model, q)
@@ -361,6 +366,17 @@ def ll_qp_build(
     return data, ctx
 
 
+def swing_delta_inv(ctx: LLCtx):
+    """The swing operational-space inertia inverse Δ⁻¹ = Js D⁻¹ Jsᵀ (+ I on
+    masked stance rows) whose inverse's diagonal sets the swing-PD gain
+    (`src/LowLevelCtrl.cpp:73-93`). Exposed so batch callers can invert ALL
+    lanes through one lanes-last SPD kernel (srbx.ops.spd) and pass `delta`
+    into ll_qp_finish."""
+    swing = 1.0 - ctx.con
+    js_flat = (ctx.toe_jac * swing[:, None, None]).reshape(12, TOTAL_DOF)
+    return js_flat @ ctx.d_inv @ js_flat.T + jnp.diag(jnp.repeat(ctx.con, 3))
+
+
 def ll_qp_finish(
     ll_cfg: LowLevelConfig,
     ctx: LLCtx,
@@ -369,9 +385,12 @@ def ll_qp_finish(
     vc: VcOut,
     sol_x,
     converged,
+    delta=None,
 ):
     """Post-solve torque math of `calcTorque`: parse GRF/tau, swing-leg PD
-    add-on, joint-command integration (`src/LowLevelCtrl.cpp:40-111`)."""
+    add-on, joint-command integration (`src/LowLevelCtrl.cpp:40-111`).
+
+    delta: optional precomputed inverse of swing_delta_inv(ctx)."""
     dtype = q.dtype
     nq = TOTAL_DOF
     con = ctx.con
@@ -393,10 +412,8 @@ def ll_qp_finish(
     # Kp from the inverse operational-space inertia.
     js = toe_jac * swing[:, None, None]
     js_flat = js.reshape(12, nq)
-    delta_inv = js_flat @ d_inv @ js_flat.T + jnp.diag(
-        jnp.repeat(con, 3)
-    )  # masked rows get identity to stay invertible
-    delta = jnp.linalg.inv(delta_inv)
+    if delta is None:
+        delta = jnp.linalg.inv(swing_delta_inv(ctx))
     wd, kd_sw = 40.0, 40.0
     toe_pos = ctx.toe_pos
     p_err = jnp.zeros((12,), dtype)
@@ -511,6 +528,7 @@ def ll_qp_build_reduced(
     vc: VcOut,
     f_des,
     include_coriolis: bool = False,
+    d_inv=None,
 ):
     """Reduced LL QP build: the 18 aux output-defect variables eliminated in
     closed form through the output-dynamics equalities. Algebraically this
@@ -521,14 +539,16 @@ def ll_qp_build_reduced(
     (objectives agree to ~1e-7 relative; the F-direction is soft at
     df_pen << aux_pen, so raw F can differ at the eps-optimality level).
 
+    d_inv: optional precomputed D(q)^-1 (see ll_qp_build).
+
     Returns (LLQpData, LLCtxR); finish with ll_qp_finish_reduced, which
     recovers aux and applies the PRIMARY finish (swing-leg PD included).
     """
     dtype = q.dtype
     nq = TOTAL_DOF
-    d_mat = rbd.mass_matrix(model, q)
     h_bias = rbd.bias_forces(model, q, qd, include_coriolis=include_coriolis)
-    d_inv = jnp.linalg.inv(d_mat)
+    if d_inv is None:
+        d_inv = jnp.linalg.inv(rbd.mass_matrix(model, q))
     b_mat = jnp.zeros((nq, 12), dtype).at[6:, :].set(jnp.eye(12, dtype=dtype))
 
     sites_j = rbd.site_jacobians(model, q)
@@ -633,11 +653,13 @@ def ll_qp_finish_reduced(
     vc: VcOut,
     sol_x,
     converged,
+    delta=None,
 ):
     """Finish a reduced-build solve with the PRIMARY post-solve math
     (swing-leg PD add-on included)."""
     return ll_qp_finish(
-        ll_cfg, ctx.base, q, qd, vc, expand_reduced_x(ctx, sol_x), converged
+        ll_cfg, ctx.base, q, qd, vc, expand_reduced_x(ctx, sol_x), converged,
+        delta=delta,
     )
 
 

@@ -382,3 +382,27 @@ def forward_dynamics(model: Model, q, qd, tau, f_ext_sites=None):
     return jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(d, lower=True), rhs
     )
+
+
+def forward_dynamics_batch(model: Model, q, qd, tau, f_ext_sites=None,
+                           backend: str = "xla", tile: int = 256, d=None):
+    """Batched forward dynamics: all operands carry a leading lane axis.
+
+    Same math as vmap(forward_dynamics), but the D q̈ = rhs solve runs
+    through srbx.ops.spd — on TPU the lanes-last Pallas kernel, which is the
+    measured hot spot of the whole-body tick (XLA's batched tiny Cholesky
+    costs ~2x the mass-matrix construction, scripts/bench_rbd_stages.py).
+
+    d: optional precomputed mass matrices (B, nq, nq) — the caller may share
+    one CRBA evaluation between the controller build and the first physics
+    substep when both see the same q (ground-truth mode)."""
+    from srbx.ops import spd
+
+    if d is None:
+        d = jax.vmap(lambda qq: mass_matrix(model, qq))(q)
+    h = jax.vmap(lambda qq, qdd: bias_forces(model, qq, qdd))(q, qd)
+    rhs = tau - h
+    if f_ext_sites is not None:
+        rhs = rhs + jax.vmap(
+            lambda qq, f: apply_site_forces(model, qq, f))(q, f_ext_sites)
+    return spd.solve(d, rhs, backend=backend, tile=tile)

@@ -157,20 +157,56 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
                 forces, backend, tile, force_new_domain=None,
                 allow_contact_trigger=True, reduced=False):
     """Batched control tick: vmap(tick_build) -> ONE fused/batched LL-QP
-    solve over all lanes -> vmap(tick_finish)."""
-    from srbx.ops import qp_batch
+    solve over all lanes -> vmap(tick_finish).
 
-    def build(st, q, qd, f):
-        return agent_mod.tick_build(
-            ll_cfg, motion_cfg, model, gait, st, q, qd, f,
-            force_new_domain=force_new_domain,
-            allow_contact_trigger=allow_contact_trigger,
-            reduced=reduced,
-        )
+    On the non-xla backends the tick's small-SPD linear algebra also runs
+    batched: D^-1 (the build's 18x18 inverse) and the swing operational-
+    space 12x12 inverse go through the lanes-last Pallas SPD kernel
+    (srbx.ops.spd) instead of per-lane jnp.linalg.inv — the measured hot
+    spot of the whole-body tick (scripts/bench_rbd_stages.py)."""
+    from srbx import lowlevel
+    from srbx.ops import qp_batch, spd
 
-    data, ctx = jax.vmap(build)(states, qs, qds, forces)
+    spd_backend = None if backend == "xla" else "fused"
+
+    if spd_backend is not None:
+        with jax.default_matmul_precision("highest"):
+            d_b = jax.vmap(lambda q: rbd.mass_matrix(model, q))(qs)
+        d_inv_b = spd.inverse(d_b, backend=spd_backend, tile=tile)
+
+        def build_d(st, q, qd, f, dinv):
+            return agent_mod.tick_build(
+                ll_cfg, motion_cfg, model, gait, st, q, qd, f,
+                force_new_domain=force_new_domain,
+                allow_contact_trigger=allow_contact_trigger,
+                reduced=reduced, d_inv=dinv,
+            )
+
+        data, ctx = jax.vmap(build_d)(states, qs, qds, forces, d_inv_b)
+    else:
+        def build(st, q, qd, f):
+            return agent_mod.tick_build(
+                ll_cfg, motion_cfg, model, gait, st, q, qd, f,
+                force_new_domain=force_new_domain,
+                allow_contact_trigger=allow_contact_trigger,
+                reduced=reduced,
+            )
+
+        data, ctx = jax.vmap(build)(states, qs, qds, forces)
     sol = qp_batch.solve(data.P, data.c, data.A, data.b, data.G, data.h,
                          qp_cfg, backend=backend, tile=tile)
+
+    if spd_backend is not None:
+        base_ctx = ctx.ll_ctx.base if reduced else ctx.ll_ctx
+        with jax.default_matmul_precision("highest"):
+            delta_inv_b = jax.vmap(lowlevel.swing_delta_inv)(base_ctx)
+        delta_b = spd.inverse(delta_inv_b, backend=spd_backend, tile=tile)
+
+        def finish_d(c, q, qd, x, cv, dl):
+            return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv,
+                                         reduced=reduced, delta=dl)
+
+        return jax.vmap(finish_d)(ctx, qs, qds, sol.x, sol.converged, delta_b)
 
     def finish(c, q, qd, x, cv):
         return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv, reduced=reduced)
@@ -260,8 +296,9 @@ def _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model,
         )
         if est_cfg is not None:
             ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-            sims, ll_outs.tau
+        sims = wb.step_batch(
+            sim_cfg, model, sims, ll_outs.tau,
+            backend=("xla" if backend == "xla" else "fused"), tile=tile,
         )
         return (sims, asts, ests), None
 
@@ -364,8 +401,9 @@ def run_batch(
                     asts.mpc_available, k >= loop.mpc_latency_ticks
                 )
             )
-            sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-                sims, ll_outs.tau
+            sims = wb.step_batch(
+                sim_cfg, model, sims, ll_outs.tau,
+                backend=("xla" if backend == "xla" else "fused"), tile=tile,
             )
             return (sims, asts, ests), (sims.q[:, 0:3], ll_outs.qp_converged,
                                         jnp.abs(ll_outs.tau).max(axis=-1),
@@ -608,8 +646,9 @@ def run_team_batch(
                 ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
             asts = asts._replace(mpc_available=jnp.logical_or(
                 asts.mpc_available, k >= loop.mpc_latency_ticks))
-            sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-                sims, ll_outs.tau
+            sims = wb.step_batch(
+                sim_cfg, model, sims, ll_outs.tau,
+                backend=("xla" if backend == "xla" else "fused"), tile=tile,
             )
             return (sims, asts, ests), (ll_outs.qp_converged, errsq)
 
@@ -786,8 +825,9 @@ def run_batch_event(
         )
         countdown = jnp.where(countdown >= 0, countdown - 1, countdown)
 
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-            sims, ll_outs.tau
+        sims = wb.step_batch(
+            sim_cfg, model, sims, ll_outs.tau,
+            backend=("xla" if backend == "xla" else "fused"), tile=tile,
         )
         carry = (sims, asts, mcarries, pend_alpha, pend_states, countdown,
                  n_solves, req, ests)
@@ -867,8 +907,9 @@ def run_velocity_gait(
             force_new_domain=(k == 0), allow_contact_trigger=True,
             reduced=ll_reduced,
         )
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-            sims, ll_outs.tau
+        sims = wb.step_batch(
+            sim_cfg, model, sims, ll_outs.tau,
+            backend=("xla" if backend == "xla" else "fused"), tile=tile,
         )
         return (sims, asts), (sims.q[:, 0:3], ll_outs.qp_converged)
 

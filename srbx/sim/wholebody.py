@@ -92,6 +92,49 @@ def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints,
     return SimState(q, qd)
 
 
+def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
+               tau_joints, backend: str = "xla", tile: int = 256,
+               base_force=None, d0=None):
+    """Batched tick: same math as vmap(step) over a leading lane axis, but
+    the mass-matrix solve of every substep runs through the lanes-last SPD
+    kernel (srbx.ops.spd) — the measured hot spot of the 1 kHz loop.
+
+    d0: optional precomputed D(q) for the FIRST substep's q (the controller
+    build evaluates the same CRBA at the same q in ground-truth mode —
+    sharing it removes one of the tick's three mass-matrix evaluations).
+    backend="xla" reproduces vmap(step) exactly (CPU/f64 tests)."""
+    dt = cfg.dt / cfg.substeps
+    bsz = states.q.shape[0]
+    dtype = states.q.dtype
+    tau_full = jnp.zeros((bsz, model.nq), dtype).at[:, 6:].set(tau_joints)
+    if base_force is not None:
+        tau_full = tau_full.at[:, 0:3].add(base_force)
+    n_sites = len(model.sites)
+
+    def sub(carry, k):
+        q, qd = carry
+        grf = jax.vmap(lambda qq, qdd: contact_forces(cfg, model, qq, qdd))(
+            q, qd)
+        f_sites = jnp.zeros((bsz, n_sites, 3), dtype).at[:, 0:4].set(grf)
+        d_k = None
+        if d0 is not None:
+            # static unroll: substep 0 reuses the caller's CRBA evaluation
+            d_k = d0 if k == 0 else None
+        qdd = rbd.forward_dynamics_batch(
+            model, q, qd, tau_full, f_ext_sites=f_sites,
+            backend=backend, tile=tile, d=d_k)
+        qd2 = qd + dt * qdd
+        q2 = q + dt * qd2
+        return (q2, qd2), None
+
+    # unrolled python loop (substeps is tiny/static) so the d0 reuse can
+    # specialize the first substep
+    carry = (states.q, states.qd)
+    for k in range(cfg.substeps):
+        carry, _ = sub(carry, k)
+    return SimState(*carry)
+
+
 def foot_force_measurement(cfg: SimConfig, model: rbd.Model, state: SimState):
     """(4,) scalar 'foot force sensor' readings (normal force), the analogue
     of the RaiSim contact impulses the reference thresholds at 8000
