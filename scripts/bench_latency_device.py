@@ -123,6 +123,31 @@ def ll_chain(args, k):
     return sim.q
 
 
+def ll_chain_fused(args, k):
+    """k whole-body LL ticks at B=1 through the BATCH path: fused Pallas
+    LL-QP + lanes-last SPD kernels (a 1-lane tile is mostly padding, but
+    the kernels' latency beats XLA's per-lane tiny-matrix loops)."""
+    from srbx.sim import closedloop as cl
+
+    sim, ast = args
+    sims = jax.tree.map(lambda x: x[None], sim)
+    asts = jax.tree.map(lambda x: x[None], ast)
+
+    def tick(carry, _):
+        sims, asts = carry
+        forces = jax.vmap(
+            lambda s: wb.foot_force_measurement(SIM, M, s))(sims)
+        ll_outs, asts, _ = cl._tick_batch(
+            LL, MO, QP_LL, M, Gait.TROT, asts, sims.q, sims.qd, forces,
+            "fused", 128, allow_contact_trigger=True, reduced=True)
+        sims = wb.step_batch(SIM, M, sims, ll_outs.tau, backend="fused",
+                             tile=128)
+        return (sims, asts), None
+
+    (sims, asts), _ = jax.lax.scan(tick, (sims, asts), None, length=k)
+    return sims.q
+
+
 def hl_setup():
     p_start = jnp.asarray([0.0, 0.0], DT)
     pobs = jnp.asarray(
@@ -161,7 +186,13 @@ if __name__ == "__main__":
           f"single-dispatch wall {wall*1e3:7.2f} ms   "
           f"(budget 20 ms thread period; dispatch gap = tunnel)")
 
-    dev_ll, wall_ll = measure(ll_chain, ll_setup(), 16, 80)
+    ll_args = ll_setup()
+    dev_ll, wall_ll = measure(ll_chain, ll_args, 16, 80)
     print(f"LL whole-body tick B=1: device {dev_ll*1e3:7.3f} ms/tick    "
           f"single-dispatch wall {wall_ll*1e3:7.2f} ms   "
+          f"(budget 1 ms @ 1 kHz)")
+
+    dev_llf, wall_llf = measure(ll_chain_fused, ll_args, 16, 80)
+    print(f"LL tick B=1 (fused/SPD batch path): device {dev_llf*1e3:7.3f} "
+          f"ms/tick    single-dispatch wall {wall_llf*1e3:7.2f} ms   "
           f"(budget 1 ms @ 1 kHz)")

@@ -65,8 +65,8 @@ def full(sims, asts):
             sims.q, sims.qd, forces, BACKEND, 256,
             force_new_domain=(k == 0), allow_contact_trigger=False,
             reduced=reduced)
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(
-            sims, ll_outs.tau)
+        sims = wb.step_batch(sim_cfg, model, sims, ll_outs.tau,
+                             backend=BACKEND, tile=256)
         return (sims, asts), ()
     (sims, asts), _ = jax.lax.scan(tick, (sims, asts), jnp.arange(K))
     return sims.q
@@ -84,7 +84,8 @@ def build_only(sims, asts):
                 reduced=reduced)
         data, ctx = jax.vmap(build)(asts, sims.q, sims.qd, forces)
         tau = jnp.zeros_like(sims.q[:, 6:]) + data.c[:, :1] * 0.0
-        sims = jax.vmap(lambda s, t: wb.step(sim_cfg, model, s, t))(sims, tau)
+        sims = wb.step_batch(sim_cfg, model, sims, tau, backend=BACKEND,
+                             tile=256)
         return (sims, asts), ()
     (sims, asts), _ = jax.lax.scan(tick, (sims, asts), jnp.arange(K))
     return sims.q
@@ -92,8 +93,8 @@ def build_only(sims, asts):
 
 def physics_only(sims):
     def tick(s, _):
-        s = jax.vmap(lambda si: wb.step(sim_cfg, model, si,
-                                        jnp.zeros_like(si.q[6:])))(s)
+        s = wb.step_batch(sim_cfg, model, s, jnp.zeros_like(s.q[:, 6:]),
+                          backend=BACKEND, tile=256)
         return s, ()
     s, _ = jax.lax.scan(tick, sims, jnp.arange(K))
     return s.q

@@ -93,13 +93,15 @@ def bench_program(batch: int, tile: int = 512):
     pobs_b = jnp.tile(pobs, (batch, 1, 1))
     toes = jnp.tile(default_footholds(agent0), (batch, 1, 1))
 
-    def fn(dom, alpha, q, dq, ci):
+    def fn(dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b):
         out = mpc_batch.run_nmpc_batch(
             cfg, QP_CFG, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
             pr, prd, a0s, pobs_b, backend="fused", tile=tile, condensed=True)
         return out.states, out.alpha_com
 
-    return jax.jit(fn), (dom, alpha, q, dq, ci)
+    # big per-lane operands as jit ARGUMENTS (bench.py's shape): embedded
+    # constants blow the remote_compile request past its ~256 MiB body limit
+    return jax.jit(fn), (dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b)
 
 
 def wholebody_program(n_scen: int, n_domains: int = 20):
@@ -148,6 +150,7 @@ POINTS = {
     "bench_163840": (bench_program, dict(batch=163840)),
     "bench_196608": (bench_program, dict(batch=196608)),
     "bench_262144": (bench_program, dict(batch=262144)),
+    "bench_327680": (bench_program, dict(batch=327680)),
     "wb_256": (wholebody_program, dict(n_scen=256)),
     "wb_384": (wholebody_program, dict(n_scen=384)),
     "wb_512": (wholebody_program, dict(n_scen=512)),

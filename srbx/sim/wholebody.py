@@ -102,7 +102,15 @@ def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
     d0: optional precomputed D(q) for the FIRST substep's q (the controller
     build evaluates the same CRBA at the same q in ground-truth mode —
     sharing it removes one of the tick's three mass-matrix evaluations).
-    backend="xla" reproduces vmap(step) exactly (CPU/f64 tests)."""
+    backend="xla" IS vmap(step), bit for bit — the golden whole-body
+    fixtures integrate ~1000 contact-rich ticks, where even eps-level
+    reassociation amplifies."""
+    if backend == "xla" and d0 is None:
+        if base_force is None:
+            return jax.vmap(lambda s, t: step(cfg, model, s, t))(
+                states, tau_joints)
+        return jax.vmap(lambda s, t, bf: step(cfg, model, s, t, bf))(
+            states, tau_joints, base_force)
     dt = cfg.dt / cfg.substeps
     bsz = states.q.shape[0]
     dtype = states.q.dtype
