@@ -78,18 +78,27 @@ def main():
         axis=1,
     )
     ci = jnp.tile(jnp.asarray([0.0, 1.0, 1.0, 0.0], dtype), (batch, 1))
-    pr = jnp.tile(ref.pr[0:2], (batch, 1, 1))
-    prd = jnp.tile(ref.prd[0:2], (batch, 1, 1))
-    a0s = jnp.tile(agent0, (batch, 1))
-    pobs_b = jnp.tile(pobs, (batch, 1, 1))
-    toes = jnp.tile(default_footholds(agent0), (batch, 1, 1))
+    pr2, prd2 = ref.pr[0:2], ref.prd[0:2]
+    toes0 = default_footholds(agent0)
 
-    # The big per-lane operands are jit ARGUMENTS, not closure constants:
-    # embedded constants are serialized into the HLO proto shipped to the
-    # remote compiler, whose request-body limit (~256 MiB) they exceed at
-    # B >= 163840 (measured: 225 MB at 131072 compiles, 281 MB at 163840 is
-    # rejected HTTP 413 — scripts/probe_program_limits.py, docs/ROUND3.md).
-    def fn(dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b):
+    # The big per-lane operands are TILED INSIDE the jit from small closure
+    # constants. Materializing them host-side and embedding them as
+    # constants serializes them into the HLO proto shipped to the remote
+    # compiler, whose request-body limit (~256 MiB) they exceed at
+    # B >= 163840 (measured HTTP 413 at 281 MB — scripts/
+    # probe_program_limits.py, docs/ROUND3.md); passing them as jit
+    # arguments instead re-ships ~117 MB through the tunnel every call
+    # (measured 368k -> 17k solves/s). In-jit tiling keeps the proto O(1)
+    # in batch while the materialized operands live worker-side.
+    def fn(dom, alpha, q, dq, ci):
+        # jnp.tile (not broadcast_to): XLA constant-folds these into the
+        # same materialized worker-side HBM constants the round-1/2
+        # executable carried, so per-lane reads stay real HBM traffic
+        pr = jnp.tile(pr2, (batch, 1, 1))
+        prd = jnp.tile(prd2, (batch, 1, 1))
+        a0s = jnp.tile(agent0, (batch, 1))
+        pobs_b = jnp.tile(pobs, (batch, 1, 1))
+        toes = jnp.tile(toes0, (batch, 1, 1))
         out = mpc_batch.run_nmpc_batch(
             cfg, qp_cfg, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
             pr, prd, a0s, pobs_b, backend=backend, tile=tile, condensed=True,
@@ -97,7 +106,7 @@ def main():
         return out.states, out.alpha_com
 
     jfn = jax.jit(fn)
-    args = (dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b)
+    args = (dom, alpha, q, dq, ci)
 
     # compile + warmup (hard host sync — block_until_ready does not reliably
     # block through the remote-TPU tunnel)

@@ -87,21 +87,24 @@ def bench_program(batch: int, tile: int = 512):
     alpha = jnp.stack([q[:, 0], jnp.zeros(batch, dtype), q[:, 1],
                        jnp.zeros(batch, dtype)], axis=1)
     ci = jnp.tile(jnp.asarray([0.0, 1.0, 1.0, 0.0], dtype), (batch, 1))
-    pr = jnp.tile(ref.pr[0:2], (batch, 1, 1))
-    prd = jnp.tile(ref.prd[0:2], (batch, 1, 1))
-    a0s = jnp.tile(agent0, (batch, 1))
-    pobs_b = jnp.tile(pobs, (batch, 1, 1))
-    toes = jnp.tile(default_footholds(agent0), (batch, 1, 1))
 
-    def fn(dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b):
+    # bench.py's production shape: big per-lane operands tiled INSIDE the
+    # jit from small constants (host-side embedded constants blow the
+    # ~256 MiB remote_compile body limit; jit arguments re-ship ~117 MB
+    # through the tunnel per call — measured 368k -> 17k solves/s)
+    pr2, prd2 = ref.pr[0:2], ref.prd[0:2]
+    toes0 = default_footholds(agent0)
+
+    def fn(dom, alpha, q, dq, ci):
         out = mpc_batch.run_nmpc_batch(
-            cfg, QP_CFG, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
-            pr, prd, a0s, pobs_b, backend="fused", tile=tile, condensed=True)
+            cfg, QP_CFG, mpc.MpcCarry(dom, alpha), q, dq,
+            jnp.tile(toes0, (batch, 1, 1)), ci,
+            jnp.tile(pr2, (batch, 1, 1)), jnp.tile(prd2, (batch, 1, 1)),
+            jnp.tile(agent0, (batch, 1)), jnp.tile(pobs, (batch, 1, 1)),
+            backend="fused", tile=tile, condensed=True)
         return out.states, out.alpha_com
 
-    # big per-lane operands as jit ARGUMENTS (bench.py's shape): embedded
-    # constants blow the remote_compile request past its ~256 MiB body limit
-    return jax.jit(fn), (dom, alpha, q, dq, ci, toes, pr, prd, a0s, pobs_b)
+    return jax.jit(fn), (dom, alpha, q, dq, ci)
 
 
 def wholebody_program(n_scen: int, n_domains: int = 20):
