@@ -73,16 +73,27 @@ def full(sims, asts):
 
 
 def build_only(sims, asts):
+    from srbx.models import rbd
+    from srbx.ops import spd
+
     def tick(c, k):
         sims, asts = c
         forces = jax.vmap(
             lambda s: wb.foot_force_measurement(sim_cfg, model, s))(sims)
-        def build(st, q, qd, f):
+        # mirror _tick_batch's production build: batched lanes-last D^-1
+        if BACKEND != "xla":
+            d_b = jax.vmap(lambda q: rbd.mass_matrix(model, q))(sims.q)
+            d_inv_b = spd.inverse(d_b, backend="fused", tile=256)
+        else:
+            d_inv_b = None
+        def build(st, q, qd, f, dinv):
             return agent_mod.tick_build(
                 ll_cfg, motion_cfg, model, Gait.TROT, st, q, qd, f,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
-                reduced=reduced)
-        data, ctx = jax.vmap(build)(asts, sims.q, sims.qd, forces)
+                reduced=reduced, d_inv=dinv)
+        in_axes = (0, 0, 0, 0, 0 if d_inv_b is not None else None)
+        data, ctx = jax.vmap(build, in_axes=in_axes)(
+            asts, sims.q, sims.qd, forces, d_inv_b)
         tau = jnp.zeros_like(sims.q[:, 6:]) + data.c[:, :1] * 0.0
         sims = wb.step_batch(sim_cfg, model, sims, tau, backend=BACKEND,
                              tile=256)

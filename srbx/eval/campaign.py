@@ -417,17 +417,20 @@ def run_campaign_chunked(
 
     History: round 1 recorded "1024 scenarios deterministically crashes the
     remote TPU worker; 512 runs clean" and max_chunk=512 was folklore.
-    Round 3 bisected it (scripts/probe_program_limits.py, srbx/eval/limits
+    Round 3 measured it (scripts/probe_program_limits.py, srbx/eval/limits
     .py, docs/ROUND3.md §1): the campaign program is statically tiny —
     ~1.22 MB HBM per scenario on both solver paths (1.25 GB at S=1024) and
     a size-independent 0.3 MB HLO proto — so neither the compile-request
-    limit (mode A) nor HBM (mode C) is in play below ~10k scenarios. The
-    historical crash was the WORKER-SIDE compile-helper OOM (mode B),
-    which is load-dependent, not a function of scenario count. Chunking
-    remains useful as the honest production shape (each chunk reuses one
-    compiled program, so steady-state throughput is unchanged) and to keep
-    any one compile small; use srbx.eval.limits.preflight to check a
-    program against the measured limits before running it.
+    limit nor HBM explains it. Live reruns reproduced the boundary
+    exactly: S=512 runs, S=1024 kills the worker from a verified-healthy
+    state — a runtime kernel fault specific to this per-agent vmapped
+    (non-fused) program, not statically predictable. max_chunk=512 is
+    therefore a MEASURED boundary for this path. The production
+    fused/condensed path (run_campaign_batch) is immune — it runs
+    4096 x 120 domains in one program — and chunking remains the honest
+    production shape regardless (each chunk reuses one compiled program).
+    Use srbx.eval.limits.preflight to check any new program against the
+    statically-predictable limits before running it.
 
     batch_backend: when set (e.g. "fused"), chunks run through
     run_campaign_batch with that solver backend instead of the per-agent

@@ -30,12 +30,18 @@ docs/ROUND3.md). There are THREE separate resources:
     B ≈ 2.2e5. This is the only true scale ceiling, and `preflight`
     reads it exactly from the compiled executable, no folklore needed.
 
+(D) runtime kernel faults — the per-agent vmapped (non-fused) campaign
+    program at S=1024 kills the worker from a verified-healthy state on
+    every attempt while S=512 runs, with BOTH programs statically tiny
+    (1.25 GB / 626 MB peak, 0.3 MB proto). Not predictable from the
+    client; the measured boundary is encoded where it matters
+    (run_campaign_chunked max_chunk=512 for that path). The production
+    fused/condensed path is immune (4096x120 in one program).
+
 Template-campaign scaling (for run_campaign_chunked): measured peak is
 ~1.22 MB/scenario on BOTH solver paths (626 MB at S=512, 1252 MB at
 S=1024, 5008 MB at S=4096 fused) — HBM alone allows >10k scenarios per
-program. The round-1 "1024 deterministically crashes" was mode (B)
-during its compile, not a memory wall; the fused/condensed production
-path runs 4096x120 in one program.
+program.
 """
 
 from __future__ import annotations
