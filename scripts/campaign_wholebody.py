@@ -43,11 +43,18 @@ dtype = jnp.float32
 model = a1.model()
 
 # obstacle fields shifted into the robot's early path (the whole-body run
-# covers ~1-2 m in n_domains, so sample x in [1, 4])
+# covers ~1-2 m in n_domains, so sample x in [1, 4]). "hard": a tight
+# corridor right on the path (x in [0.8, 2.5], y in [-0.8, 0.8]) — the
+# field density where the QP-only vs CBF-SQP safety contrast shows.
+hard = "hard" in sys.argv[4:]
 key = jax.random.key(42)
 k1, k2, k3 = jax.random.split(key, 3)
-xs = jax.random.uniform(k1, (n_scen, 20), minval=1.0, maxval=4.0)
-ys = jax.random.uniform(k2, (n_scen, 20), minval=-1.5, maxval=1.5)
+if hard:
+    xs = jax.random.uniform(k1, (n_scen, 20), minval=0.8, maxval=2.5)
+    ys = jax.random.uniform(k2, (n_scen, 20), minval=-0.8, maxval=0.8)
+else:
+    xs = jax.random.uniform(k1, (n_scen, 20), minval=1.0, maxval=4.0)
+    ys = jax.random.uniform(k2, (n_scen, 20), minval=-1.5, maxval=1.5)
 pobs = jnp.stack([xs, ys], axis=1).astype(dtype)            # (S, 2, 20)
 
 loop = closedloop.LoopConfig(stand_ticks=800, n_domains=n_domains)

@@ -155,7 +155,7 @@ def run(
 
 def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
                 forces, backend, tile, force_new_domain=None,
-                allow_contact_trigger=True, reduced=False):
+                allow_contact_trigger=True, reduced=False, return_d=False):
     """Batched control tick: vmap(tick_build) -> ONE fused/batched LL-QP
     solve over all lanes -> vmap(tick_finish).
 
@@ -163,11 +163,18 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
     batched: D^-1 (the build's 18x18 inverse) and the swing operational-
     space 12x12 inverse go through the lanes-last Pallas SPD kernel
     (srbx.ops.spd) instead of per-lane jnp.linalg.inv — the measured hot
-    spot of the whole-body tick (scripts/bench_rbd_stages.py)."""
+    spot of the whole-body tick (scripts/bench_rbd_stages.py).
+
+    return_d: additionally return the (B, 18, 18) mass matrices evaluated
+    at qs, so a ground-truth caller (controller view == plant state) can
+    hand them to wb.step_batch(d0=...) and skip one of the tick's three
+    CRBA evaluations. Only honored on the non-xla path (the xla path does
+    not form D batched)."""
     from srbx import lowlevel
     from srbx.ops import qp_batch, spd
 
     spd_backend = None if backend == "xla" else "fused"
+    d_b = None
 
     if spd_backend is not None:
         with jax.default_matmul_precision("highest"):
@@ -206,12 +213,14 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
             return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv,
                                          reduced=reduced, delta=dl)
 
-        return jax.vmap(finish_d)(ctx, qs, qds, sol.x, sol.converged, delta_b)
+        out = jax.vmap(finish_d)(ctx, qs, qds, sol.x, sol.converged, delta_b)
+        return out + (d_b,) if return_d else out
 
     def finish(c, q, qd, x, cv):
         return agent_mod.tick_finish(ll_cfg, c, q, qd, x, cv, reduced=reduced)
 
-    return jax.vmap(finish)(ctx, qs, qds, sol.x, sol.converged)
+    out = jax.vmap(finish)(ctx, qs, qds, sol.x, sol.converged)
+    return out + (None,) if return_d else out
 
 
 def _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg):
@@ -290,15 +299,17 @@ def _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop, model,
         phases = asts.loco_tick / jnp.maximum(asts.planner.dom_ticks, 1.0)
         ests, qs, qds, forces = _ctrl_inputs(
             est_cfg, sim_cfg, model, ests, sims, phases)
-        ll_outs, asts, _ = _tick_batch(
+        ll_outs, asts, _, d_b = _tick_batch(
             ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.STAND, asts,
             qs, qds, forces, backend, tile, reduced=ll_reduced,
+            return_d=True,
         )
         if est_cfg is not None:
             ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
         sims = wb.step_batch(
             sim_cfg, model, sims, ll_outs.tau,
             backend=("xla" if backend == "xla" else "fused"), tile=tile,
+            d0=d_b if est_cfg is None else None,
         )
         return (sims, asts, ests), None
 
@@ -388,11 +399,11 @@ def run_batch(
                  jnp.sum((qds[:, 0:3] - sims.qd[:, 0:3]) ** 2, axis=-1)],
                 axis=-1,
             )                                          # (B, 2)
-            ll_outs, asts, _ = _tick_batch(
+            ll_outs, asts, _, d_b = _tick_batch(
                 ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
                 qs, qds, forces, backend, tile,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
-                reduced=ll_reduced,
+                reduced=ll_reduced, return_d=True,
             )
             if est_cfg is not None:
                 ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
@@ -404,6 +415,7 @@ def run_batch(
             sims = wb.step_batch(
                 sim_cfg, model, sims, ll_outs.tau,
                 backend=("xla" if backend == "xla" else "fused"), tile=tile,
+                d0=d_b if est_cfg is None else None,
             )
             return (sims, asts, ests), (sims.q[:, 0:3], ll_outs.qp_converged,
                                         jnp.abs(ll_outs.tau).max(axis=-1),
@@ -636,11 +648,11 @@ def run_team_batch(
                 )                                  # (S*A, 2)
             else:
                 errsq = jnp.zeros((n_lanes, 2), dtype)
-            ll_outs, asts, _ = _tick_batch(
+            ll_outs, asts, _, d_b = _tick_batch(
                 ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
                 qs, qds, forces, backend, tile,
                 force_new_domain=(k == 0), allow_contact_trigger=False,
-                reduced=ll_reduced,
+                reduced=ll_reduced, return_d=True,
             )
             if est_cfg is not None:
                 ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
@@ -649,6 +661,7 @@ def run_team_batch(
             sims = wb.step_batch(
                 sim_cfg, model, sims, ll_outs.tau,
                 backend=("xla" if backend == "xla" else "fused"), tile=tile,
+                d0=d_b if est_cfg is None else None,
             )
             return (sims, asts, ests), (ll_outs.qp_converged, errsq)
 
@@ -795,11 +808,11 @@ def run_batch_event(
             )                                      # (B, 2)
         else:
             errsq = jnp.zeros((qs.shape[0], 2), qs.dtype)
-        ll_outs, asts, run_mpc = _tick_batch(
+        ll_outs, asts, run_mpc, d_b = _tick_batch(
             ll_cfg, motion_cfg, ll_qp_cfg, model, Gait.TROT, asts,
             qs, qds, forces, backend, tile,
             force_new_domain=(k == 0), allow_contact_trigger=True,
-            reduced=ll_reduced,
+            reduced=ll_reduced, return_d=True,
         )
         if est_cfg is not None:
             ests = jax.vmap(pipeline.set_contact_ind)(ests, asts.con.ind)
@@ -828,6 +841,7 @@ def run_batch_event(
         sims = wb.step_batch(
             sim_cfg, model, sims, ll_outs.tau,
             backend=("xla" if backend == "xla" else "fused"), tile=tile,
+            d0=d_b if est_cfg is None else None,
         )
         carry = (sims, asts, mcarries, pend_alpha, pend_states, countdown,
                  n_solves, req, ests)
@@ -901,15 +915,16 @@ def run_velocity_gait(
         forces = jax.vmap(
             lambda s: wb.foot_force_measurement(sim_cfg, model, s)
         )(sims)
-        ll_outs, asts, _ = _tick_batch(
+        ll_outs, asts, _, d_b = _tick_batch(
             ll_cfg, motion_cfg, ll_qp_cfg, model, gait, asts,
             sims.q, sims.qd, forces, backend, tile,
             force_new_domain=(k == 0), allow_contact_trigger=True,
-            reduced=ll_reduced,
+            reduced=ll_reduced, return_d=True,
         )
         sims = wb.step_batch(
             sim_cfg, model, sims, ll_outs.tau,
             backend=("xla" if backend == "xla" else "fused"), tile=tile,
+            d0=d_b,
         )
         return (sims, asts), (sims.q[:, 0:3], ll_outs.qp_converged)
 
