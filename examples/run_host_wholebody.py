@@ -101,26 +101,30 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000,
                                data.h, QP_LL)
         ll_out, ast, run_mpc = agent_mod.tick_finish(
             LL, ctx, q_c, qd_c, sol.x, sol.converged, reduced=True)
+        err = None
         if est is not None:
             est = pipeline.set_contact_ind(est, ast.con.ind)
-        sim = wb.step(SIM, M, sim, ll_out.tau)
-        return sim, ast, est, run_mpc, ll_out.qp_converged
-
-    if use_est:
-        @jax.jit
-        def ll_fn(sim, ast, est):
-            sim, ast, est, run_mpc, ok = _ll_tick(sim, ast, est, Gait.TROT)
             # base pos/vel estimate error vs truth (report-only; the
-            # controller never sees these)
+            # controller never sees these). Computed against the PRE-step
+            # sim state — q_hat estimates the state the sensors were
+            # synthesized from, before wb.step advances the plant.
             err = jnp.stack([
                 jnp.linalg.norm(est.q_hat[0:3] - sim.q[0:3]),
                 jnp.linalg.norm(est.qd_hat[0:3] - sim.qd[0:3]),
             ])
+        sim = wb.step(SIM, M, sim, ll_out.tau)
+        return sim, ast, est, run_mpc, ll_out.qp_converged, err
+
+    if use_est:
+        @jax.jit
+        def ll_fn(sim, ast, est):
+            sim, ast, est, run_mpc, ok, err = _ll_tick(
+                sim, ast, est, Gait.TROT)
             return sim, ast, est, run_mpc, ok, err
     else:
         @jax.jit
         def ll_fn(sim, ast):
-            sim, ast, _, run_mpc, ok = _ll_tick(sim, ast, None, Gait.TROT)
+            sim, ast, _, run_mpc, ok, _e = _ll_tick(sim, ast, None, Gait.TROT)
             return sim, ast, run_mpc, ok
 
     @jax.jit
@@ -149,7 +153,7 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000,
     def stand(sim, ast, est):
         def tick(carry, _):
             sim, ast, est = carry
-            sim, ast, est, _, _ = _ll_tick(sim, ast, est, Gait.STAND)
+            sim, ast, est, _, _, _ = _ll_tick(sim, ast, est, Gait.STAND)
             return (sim, ast, est), None
         (sim, ast, est), _ = jax.lax.scan(tick, (sim, ast, est), None,
                                           length=1000)

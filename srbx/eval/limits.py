@@ -5,7 +5,8 @@ work.
 Rounds 1-2 carried "the worker crashes above N lanes" as folklore
 (max_chunk=512, B<=131072, 256-scenario whole-body chunks). Round 3
 bisected the failures (scripts/probe_program_limits.py; numbers in
-docs/ROUND3.md). There are THREE separate resources:
+docs/ROUND3.md). There are FOUR failure modes — three statically
+predictable resources (A)-(C) plus one runtime fault mode (D):
 
 (A) remote_compile request body — the serialized HLO proto is POSTed to the
     worker's compile endpoint, which rejects bodies over ~256 MiB with

@@ -207,6 +207,11 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
         base_ctx = ctx.ll_ctx.base if reduced else ctx.ll_ctx
         with jax.default_matmul_precision("highest"):
             delta_inv_b = jax.vmap(lowlevel.swing_delta_inv)(base_ctx)
+        # NOTE: the Cholesky-based fused inverse assumes swing_delta_inv is
+        # SPD, i.e. full-rank swing-leg Jacobian rows. At an exact kinematic
+        # singularity (fully stretched/folded leg — outside the operating
+        # envelope of every gait here; swing targets keep the knee bent) the
+        # per-lane LU path (spd_backend=None) degrades more gracefully.
         delta_b = spd.inverse(delta_inv_b, backend=spd_backend, tile=tile)
 
         def finish_d(c, q, qd, x, cv, dl):

@@ -102,10 +102,12 @@ def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
     d0: optional precomputed D(q) for the FIRST substep's q (the controller
     build evaluates the same CRBA at the same q in ground-truth mode —
     sharing it removes one of the tick's three mass-matrix evaluations).
-    backend="xla" IS vmap(step), bit for bit — the golden whole-body
-    fixtures integrate ~1000 contact-rich ticks, where even eps-level
-    reassociation amplifies."""
-    if backend == "xla" and d0 is None:
+    backend="xla" IS vmap(step), bit for bit, unconditionally — d0 is
+    ignored on that path (step re-derives D itself), so passing it cannot
+    silently change the reassociation. The golden whole-body fixtures
+    integrate ~1000 contact-rich ticks, where even eps-level reassociation
+    amplifies."""
+    if backend == "xla":
         if base_force is None:
             return jax.vmap(lambda s, t: step(cfg, model, s, t))(
                 states, tau_joints)

@@ -92,6 +92,7 @@ def test_jdot_qd_finite_difference():
     np.testing.assert_allclose(jd, jd_fd, atol=1e-5)
 
 
+@pytest.mark.xdist_group("heavy")
 def test_energy_conservation_free_fall():
     """Unforced dynamics must conserve total energy (validates D, H, C)."""
     q, qd = _rand_state(6, scale=0.2)

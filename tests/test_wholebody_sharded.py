@@ -67,6 +67,7 @@ def test_run_batch_event_sharded_matches_unsharded_fast():
                                   np.asarray(res_u.domains))
 
 
+@pytest.mark.xdist_group("heavy")
 def test_run_team_batch_sharded_matches_unsharded_fast():
     S, A = 4, 2
     loop = closedloop.LoopConfig(stand_ticks=12, n_domains=1,
