@@ -81,7 +81,12 @@ def main(seconds: float = 5.0, ll_period_us: int = 1_000,
 
     from srbx.ops import qp as qp_mod
 
-    QP_LL = _dc.replace(QP, ruiz_iters=max(QP.ruiz_iters, 5))
+    # f64 host path: run the LL QP RAW (no Ruiz) — the iSWIFT cross-
+    # validation (docs/ROUND4.md) measured raw f64 torque agreement at
+    # median 3e-5 Nm vs the reference solver, while the equilibrated solve
+    # terminates ~1 Nm off (weakly-determined scaled optimum). Ruiz remains
+    # the f32/TPU batch-lane default (closedloop._resolve_ll_qp_cfg).
+    QP_LL = QP
 
     def _ll_tick(sim, ast, est, gait):
         """One controller+plant tick; with est, the controller (and the

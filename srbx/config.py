@@ -176,6 +176,13 @@ class QpConfig:
     # a fixed quasidefinite shift is the batched/lockstep equivalent).
     reg_primal: float = 1e-9
     reg_dual: float = 1e-9
+    # Iterative-refinement rounds on every KKT solve against the
+    # unregularized operator. Removes the O(δ) direction bias that the
+    # static shifts introduce — without it, Ruiz-scaled low-level QPs stall
+    # at a δ-limited stationarity floor ~4 Nm off the true optimum (found by
+    # the iSWIFT cross-validation, docs/ROUND4.md). Two triangular-solve
+    # rounds per Newton step; no extra factorizations.
+    kkt_refine_iters: int = 2
     sigma_min: float = 1e-12
     step_frac: float = 0.99
     # Ruiz equilibration sweeps applied to (P, c, A, G) before the IPM and
@@ -183,6 +190,12 @@ class QpConfig:
     # when cost/constraint scales span many orders (e.g. the 1e8 CLF
     # penalty next to unit friction rows).
     ruiz_iters: int = 0
+    # Bound on every cumulative Ruiz scaling factor (0 = unbounded). Full
+    # equilibration makes the LL QP's optimum weakly determined in scaled
+    # coordinates (~Nm unscaled error at a converged scaled residual —
+    # iSWIFT cross-validation, docs/ROUND4.md); a bounded scaling keeps the
+    # factorization f32-feasible while preserving determinedness.
+    ruiz_clip: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +301,15 @@ class RefPlanConfig:
     damping_c: float = 625.0
     mass_m: float = 8.0
     ts: float = 0.043 / 10.0
+    # Literal hard-coded discrete matrices (reference-matrix mode): when
+    # non-empty, generate() uses these VERBATIM instead of the exact-ZOH
+    # closed form — (ad_pos_vel, ad_vel) and (bd_pos, bd_vel) as written at
+    # `src/MPC_dist.cpp:945-960` / `src/LocoWrapper.cpp:265-279`. The
+    # reference's Bd position coupling differs ~1.4% from exact ZOH; this
+    # mode reproduces its checked-in Sim_Outputs logs bit-for-bit
+    # (scripts/reproduce_hlpath.py, tests/test_refplan.py).
+    ad_ref: tuple = ()
+    bd_ref: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

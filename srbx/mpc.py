@@ -91,6 +91,24 @@ def closest_obstacle(q_xy, pobs):
     return pobs[:, idx], jnp.sqrt(d2[idx])
 
 
+def nmpc_qp_inputs(cfg: MpcConfig, carry: MpcCarry, q_xy, dq_xy, toe_xy,
+                   contact_ind, pr_agent, prd_agent, agent_initial):
+    """The (x0, ref, foothold_xy, ci) quadruple run_nmpc hands to
+    ocp.assemble — exposed so cross-validation harnesses (the iSWIFT parity
+    study, srbx.eval.parity) can capture the EXACT QP instances the closed
+    loop solves.  Nominal-foothold handoff matches `footholdsPlanner`'s
+    start-of-run branch (`src/MPC_dist.cpp:1230-1246`)."""
+    dtype = q_xy.dtype
+    x0 = jnp.stack([q_xy[0], dq_xy[0], q_xy[1], dq_xy[1]])
+    ref = reference_window(pr_agent, prd_agent, 0, carry.gait_domain,
+                           cfg.horizon)
+    nominal = default_footholds(agent_initial.astype(dtype))
+    use_nominal = carry.gait_domain <= 1
+    foothold_xy = jnp.where(use_nominal, nominal, toe_xy)
+    ci = jnp.where(use_nominal, jnp.ones_like(contact_ind), contact_ind)
+    return x0, ref, foothold_xy, ci
+
+
 def run_nmpc(
     cfg: MpcConfig,
     qp_cfg: QpConfig,
@@ -121,14 +139,9 @@ def run_nmpc(
         inter-agent safety constraint).
     """
     dtype = q_xy.dtype
-    x0 = jnp.stack([q_xy[0], dq_xy[0], q_xy[1], dq_xy[1]])
-
-    ref = reference_window(pr_agent, prd_agent, 0, carry.gait_domain, cfg.horizon)
-
-    nominal = default_footholds(agent_initial.astype(dtype))
-    use_nominal = carry.gait_domain <= 1
-    foothold_xy = jnp.where(use_nominal, nominal, toe_xy)
-    ci = jnp.where(use_nominal, jnp.ones_like(contact_ind), contact_ind)
+    x0, ref, foothold_xy, ci = nmpc_qp_inputs(
+        cfg, carry, q_xy, dq_xy, toe_xy, contact_ind,
+        pr_agent, prd_agent, agent_initial)
 
     data = assemble(cfg, x0, ref, foothold_xy, ci, dtype=dtype)
     if cfg.condensed:

@@ -94,13 +94,38 @@ def _kkt_solve(kkt: _Kkt, A, r1, r2):
     return dx, dy
 
 
+def _kkt_solve_refined(kkt: _Kkt, P, A, G, w, r1, r2, iters: int):
+    """_kkt_solve + `iters` rounds of iterative refinement against the
+    UNregularized KKT operator  [P+GᵀWG  Aᵀ; A  0].
+
+    The static shifts δ_p, δ_d make the factorization unconditionally
+    Cholesky-able, but they bias every Newton direction by O(δ·‖Δ‖·κ).
+    After Ruiz equilibration the scaled P is O(1), so δ=1e-9 is no longer
+    negligible the way it is against raw penalty scales (~1e9): the IPM
+    then stalls at a δ-limited stationarity floor that the scaled residual
+    check cannot distinguish from convergence (found by the iSWIFT
+    cross-validation study, docs/ROUND4.md — unscaled primal error up to
+    ~4 Nm on low-level QP instances).  Refinement removes the bias at the
+    cost of `iters` extra triangular solves — no new factorizations, so
+    the batched/TPU cost is small.
+    """
+    dx, dy = _kkt_solve(kkt, A, r1, r2)
+    for _ in range(iters):
+        t1 = r1 - (P @ dx + G.T @ (w * (G @ dx)) + A.T @ dy)
+        t2 = r2 - A @ dx
+        ddx, ddy = _kkt_solve(kkt, A, t1, t2)
+        dx = dx + ddx
+        dy = dy + ddy
+    return dx, dy
+
+
 def _step_to_boundary(v, dv):
     """max alpha in (0, 1] with v + alpha dv >= 0 (v > 0)."""
     ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
     return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
 
 
-def ruiz_equilibrate(P, c, A, G, h, b, iters: int):
+def ruiz_equilibrate(P, c, A, G, h, b, iters: int, clip: float = 0.0):
     """Ruiz equilibration of the QP data (OSQP-style, modified for the
     two-block constraint layout). Returns scaled data plus the scalings
     (d, e, f, kappa) with x = d * x_hat, y = kappa * e * y_hat,
@@ -111,6 +136,15 @@ def ruiz_equilibrate(P, c, A, G, h, b, iters: int):
     the batched, fixed-iteration analogue of the dynamic scaling the
     reference's LDL applies during factorization
     (`optimization/iSWIFT/READ ME.txt:17`).
+
+    clip > 0 bounds every cumulative scaling factor to [1/clip, clip]
+    ("bounded Ruiz"). Full equilibration compresses the LL QP's ~1e10
+    penalty dynamic range to O(1), which makes the optimum weakly
+    determined in scaled coordinates: the IPM terminates at a point whose
+    scaled KKT residual is tiny but whose UNSCALED primal error is ~Nm
+    (the iSWIFT cross-validation finding, docs/ROUND4.md). Clipping keeps
+    just enough of the native scale separation that the optimum stays
+    sharply determined while the factorization still fits f32.
     """
     dtype = P.dtype
     n = P.shape[-1]
@@ -133,6 +167,13 @@ def ruiz_equilibrate(P, c, A, G, h, b, iters: int):
         row_g = jnp.abs(G).max(axis=-1)
         ff = 1.0 / jnp.sqrt(jnp.maximum(row_g, eps))
         ff = jnp.where(row_g > 0, ff, 1.0)
+
+        if clip > 0:
+            lo = jnp.asarray(1.0 / clip, dtype)
+            hi = jnp.asarray(clip, dtype)
+            dd = jnp.clip(d * dd, lo, hi) / d
+            ee = jnp.clip(e * ee, lo, hi) / e
+            ff = jnp.clip(f * ff, lo, hi) / f
 
         P = dd[:, None] * P * dd[None, :]
         A = ee[:, None] * A * dd[None, :]
@@ -166,7 +207,7 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), x0: Optional[jax.Array] 
     with jax.default_matmul_precision("highest"):
         if cfg.ruiz_iters:
             data, (d, e, f, kappa) = ruiz_equilibrate(
-                P, c, A, G, h, b, cfg.ruiz_iters
+                P, c, A, G, h, b, cfg.ruiz_iters, clip=cfg.ruiz_clip
             )
             x0_s = x0 / d if x0 is not None else None
             sol = _solve_impl(*data, cfg, x0_s)
@@ -240,7 +281,8 @@ def _solve_impl(P, c, A, b, G, h, cfg: QpConfig, x0: Optional[jax.Array]):
         # Affine (predictor) direction: target s∘z -> 0.
         r_c = -s * z
         r1 = -rx - G.T @ (r_c / s + w * rz)
-        dx_a, dy_a = _kkt_solve(kkt, A, r1, -ry)
+        dx_a, dy_a = _kkt_solve_refined(kkt, P, A, G, w, r1, -ry,
+                                        cfg.kkt_refine_iters)
         ds_a = -rz - G @ dx_a
         dz_a = (r_c - z * ds_a) / s
 
@@ -252,7 +294,8 @@ def _solve_impl(P, c, A, b, G, h, cfg: QpConfig, x0: Optional[jax.Array]):
         # Corrector direction (same factorization).
         r_c2 = sigma * mu - s * z - ds_a * dz_a
         r1c = -rx - G.T @ (r_c2 / s + w * rz)
-        dx, dy = _kkt_solve(kkt, A, r1c, -ry)
+        dx, dy = _kkt_solve_refined(kkt, P, A, G, w, r1c, -ry,
+                                    cfg.kkt_refine_iters)
         ds = -rz - G @ dx
         dz = (r_c2 - z * ds) / s
 

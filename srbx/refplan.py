@@ -88,14 +88,27 @@ def _forces(cfg: RefPlanConfig, pos, vel, pobs):
     return jnp.where(d_goal < 0.001, 0.0, f)
 
 
-def generate(cfg: RefPlanConfig, p_start, pobs, dtype=jnp.float64) -> RefTraj:
+def generate(cfg: RefPlanConfig, p_start, pobs, dtype=jnp.float64,
+             return_raw: bool = False) -> RefTraj:
     """Roll the APF planner and downsample.
 
     p_start: (2*n_agents,) starting xy per agent; pobs: (2, n_obs).
     Returns RefTraj with T = loop_size // downsample knots.
+    return_raw additionally returns the full (loop_size, na, 2) position /
+    velocity rollouts (used by scripts/reproduce_hlpath.py to reproduce the
+    reference log's off-by-one tail knots, which are RAW rollout states —
+    `src/MPC_dist.cpp:1045-1061` reads two columns past the downsampled
+    prefix of its in-place-overwritten buffer).
     """
     na = cfg.n_agents
-    ad, bd = discretize(cfg.damping_c, cfg.mass_m, cfg.ts)
+    if cfg.ad_ref:
+        # reference-matrix mode: the literal hard-coded discretization
+        # (`src/MPC_dist.cpp:945-960`), for bit-reproduction of the
+        # checked-in Sim_Outputs logs.
+        ad = np.array([[1.0, cfg.ad_ref[0]], [0.0, cfg.ad_ref[1]]])
+        bd = np.array([[cfg.bd_ref[0]], [cfg.bd_ref[1]]])
+    else:
+        ad, bd = discretize(cfg.damping_c, cfg.mass_m, cfg.ts)
     ad = jnp.asarray(ad, dtype)
     bd = jnp.asarray(bd, dtype)
     pobs_t = pobs.T.astype(dtype)              # (n_obs, 2)
@@ -127,27 +140,43 @@ def generate(cfg: RefPlanConfig, p_start, pobs, dtype=jnp.float64) -> RefTraj:
 
     pr = ds.transpose(1, 2, 0).reshape(2 * na, -1)
     prd = dsv.transpose(1, 2, 0).reshape(2 * na, -1)
+    if return_raw:
+        return RefTraj(pr, prd), (pos_hist, vel_hist)
     return RefTraj(pr, prd)
 
 
-def two_agent_config(**kw) -> RefPlanConfig:
+def two_agent_config(reference_matrices: bool = False, **kw) -> RefPlanConfig:
     """2-agent planner constants (`src/LocoWrapper.cpp:256-257` + derived
-    discretization, see module docstring)."""
+    discretization, see module docstring). reference_matrices=True uses the
+    literal hard-coded Ad/Bd (`src/LocoWrapper.cpp:265-279`) instead of
+    exact ZOH."""
     base = dict(
         n_agents=2, alpha=100.0, eta=200.0, dmin=2.0, lj_epsilon=1.0,
         lj_sigma=0.75, ramp_up_iters=0, damping_c=600.0, mass_m=8.0,
         ts=0.0010630627843875393,
     )
+    if reference_matrices:
+        base.update(
+            ad_ref=(0.001021788129226, 0.923365890308039),
+            bd_ref=(0.000000067853117956, 0.000127723516153268),
+        )
     base.update(kw)
     return RefPlanConfig(**base)
 
 
-def four_agent_config(**kw) -> RefPlanConfig:
-    """4-agent planner constants (`src/MPC_dist.cpp:932-933,942-960`)."""
+def four_agent_config(reference_matrices: bool = False, **kw) -> RefPlanConfig:
+    """4-agent planner constants (`src/MPC_dist.cpp:932-933,942-960`).
+    reference_matrices=True uses the literal hard-coded Ad/Bd
+    (`src/MPC_dist.cpp:945-960`) instead of exact ZOH."""
     base = dict(
         n_agents=4, alpha=150.0, eta=400.0, dmin=1.0, lj_epsilon=60.0,
         lj_sigma=1.0, ramp_up_iters=1000, damping_c=550.0, mass_m=8.0,
         ts=0.0010629728231878717,
     )
+    if reference_matrices:
+        base.update(
+            ad_ref=(0.001025061239872, 0.929527039758809),
+            bd_ref=(0.000000068070472960, 0.000128132654983983),
+        )
     base.update(kw)
     return RefPlanConfig(**base)

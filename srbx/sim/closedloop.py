@@ -228,13 +228,29 @@ def _tick_batch(ll_cfg, motion_cfg, qp_cfg, model, gait, states, qs, qds,
     return out + (None,) if return_d else out
 
 
-def _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg):
-    """Default LL solver config for the batched loops. The reduced LL QP's
-    Hessian carries auxPen * A'^T A' (condition ~auxPen/df_pen ~ 1e7) —
-    beyond raw f32; Ruiz equilibration restores convergence (measured:
-    0% -> converged at 5 sweeps)."""
+def _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype=None):
+    """Default LL solver config for the batched loops, per dtype.
+
+    The reduced LL QP's Hessian carries auxPen * A'^T A' (condition
+    ~auxPen/df_pen ~ 1e10). The iSWIFT cross-validation (docs/ROUND4.md)
+    measured, against the reference solver on 464 captured LL instances:
+
+      * f64 RAW (no Ruiz): torque agreement median 3e-5 / max 1.5e-2 Nm —
+        the accurate configuration; equilibration actively HURTS in f64
+        (the scaled optimum is weakly determined: ~1 Nm unscaled error at
+        a converged scaled residual).
+      * f32 raw: 0% convergence (Cholesky of a cond-1e10 operator); Ruiz
+        (5 sweeps) restores convergence but accuracy is representation-
+        limited to ~1.9 Nm median regardless of algorithm — evaluating the
+        KKT gradient at the TRUE optimum on f32-rounded operands already
+        carries error larger than the gradient scale.
+
+    So: f64 lanes run raw (exact), f32 lanes run Ruiz (converged, with the
+    quantified representation-limited gap)."""
     if ll_qp_cfg is not None:
         return ll_qp_cfg
+    if dtype is not None and jnp.dtype(dtype) == jnp.float64:
+        return qp_cfg
     import dataclasses as _dc
     return (_dc.replace(qp_cfg, ruiz_iters=max(qp_cfg.ruiz_iters, 5))
             if ll_reduced else qp_cfg)
@@ -363,7 +379,7 @@ def run_batch(
     from srbx import motion as motion_mod
     from srbx.estimation import pipeline
 
-    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype)
     bsz = agent_initial.shape[0]
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
                                        agent_initial, dtype)
@@ -597,7 +613,7 @@ def run_team_batch(
     from srbx import motion as motion_mod
     from srbx.estimation import pipeline
 
-    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype)
     n_scen, n_agents = agent_initials.shape[0:2]
     n_lanes = n_scen * n_agents
     a0_l = agent_initials.reshape(n_lanes, 2).astype(dtype)
@@ -753,7 +769,7 @@ def run_batch_event(
     from srbx import mpc_batch
     from srbx.estimation import pipeline
 
-    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype)
     bsz = agent_initial.shape[0]
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
                                        agent_initial, dtype)
@@ -910,7 +926,7 @@ def run_velocity_gait(
     target while cycling stance tables."""
     assert gait in (Gait.WALK, Gait.PACE, Gait.INPLACE_TROT,
                     Gait.INPLACE_WALK, Gait.TAP, Gait.POSE)
-    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg)
+    ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype)
     sims, asts, _ = _init_lanes(motion_cfg, loop, model, agent_initial, dtype)
     sims, asts, _ = _stand_phase(ll_cfg, motion_cfg, ll_qp_cfg, sim_cfg, loop,
                                  model, sims, asts, backend, tile, ll_reduced)

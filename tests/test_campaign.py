@@ -115,8 +115,11 @@ def test_batch_campaign_matches_per_agent():
         cfg, qp_cfg, camp, ref_cfg, p_start, key, 4, backend="xla"
     )
     np.testing.assert_array_equal(np.asarray(ref.success), np.asarray(bat.success))
+    # 1e-7: the KKT refinement rounds (QpConfig.kkt_refine_iters) add extra
+    # vmapped-vs-unbatched matmul chains, lifting the benign rounding floor
+    # of the stand domains from ~1e-12 to ~1e-8.
     np.testing.assert_allclose(
-        np.asarray(ref.traj[:, :2]), np.asarray(bat.traj[:, :2]), atol=1e-9
+        np.asarray(ref.traj[:, :2]), np.asarray(bat.traj[:, :2]), atol=1e-7
     )
     np.testing.assert_allclose(
         np.asarray(ref.traj), np.asarray(bat.traj), atol=3e-2
