@@ -63,12 +63,18 @@ def run(
     pobs_real,
     q0=None,
     dtype=jnp.float64,
+    stiction: bool = False,
 ):
-    """Single-agent full-fidelity run. vmap over scenarios/agents upstream."""
+    """Single-agent full-fidelity run. vmap over scenarios/agents upstream.
+
+    stiction=True runs the plant with the anchor-point stick-slip tangential
+    contact model (wb.ContactState); the final state's `sim.con.slip` is the
+    per-foot cumulative stance-slip metric."""
     if q0 is None:
         q0 = wb.default_crouch(model, dtype)
         q0 = q0.at[0:2].add(agent_initial)
-    sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+    con0 = wb.init_contact_state(model, q0) if stiction else None
+    sim = wb.SimState(q0, jnp.zeros((18,), dtype), con0)
     ast = agent_mod.init(motion_cfg, model, q0, dtype)
     mcarry = mpc_mod.init_carry(agent_initial, dtype)
 
@@ -256,13 +262,14 @@ def _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype=None):
             if ll_reduced else qp_cfg)
 
 
-def _init_lanes(motion_cfg, loop, model, a0_l, dtype):
+def _init_lanes(motion_cfg, loop, model, a0_l, dtype, stiction=False):
     """Per-lane crouch init: sim state, agent state (stand planner armed),
     MPC carry."""
     def init_one(a0):
         q0 = wb.default_crouch(model, dtype)
         q0 = q0.at[0:2].add(a0)
-        sim = wb.SimState(q0, jnp.zeros((18,), dtype))
+        con0 = wb.init_contact_state(model, q0) if stiction else None
+        sim = wb.SimState(q0, jnp.zeros((18,), dtype), con0)
         ast = agent_mod.init(motion_cfg, model, q0, dtype)
         ast = ast._replace(planner=ast.planner._replace(
             stand_from=q0[0:3],
@@ -359,6 +366,8 @@ def run_batch(
     ll_qp_cfg: QpConfig | None = None,
     est_cfg=None,
     est_key=None,
+    stiction: bool = False,
+    push=None,
 ) -> LoopResult:
     """Batched full-fidelity loop: `run` with the lane axis inside.
 
@@ -374,7 +383,13 @@ def run_batch(
     the plant+sensor model, exactly the reference's deployable topology
     (`driver_scripts/qp_only_exp.cpp:256,484`, `src/kalman.cpp:39`). The
     result then carries `est_rmse` (B, 2): locomotion-phase RMSE of the base
-    position / velocity estimate."""
+    position / velocity estimate.
+
+    push: optional (force (B, 3), start_tick (B,), duration_ticks (B,)) —
+    per-lane trunk force pulses, the batched analogue of the reference's
+    external disturbance generator (`src/A1_Sim.cpp:84-107`: a constant
+    force on the trunk between two control ticks). start_tick counts
+    LOCOMOTION ticks (the stand phase is excluded)."""
     from srbx import mpc_batch
     from srbx import motion as motion_mod
     from srbx.estimation import pipeline
@@ -382,7 +397,8 @@ def run_batch(
     ll_qp_cfg = _resolve_ll_qp_cfg(qp_cfg, ll_reduced, ll_qp_cfg, dtype)
     bsz = agent_initial.shape[0]
     sims, asts, mcarries = _init_lanes(motion_cfg, loop, model,
-                                       agent_initial, dtype)
+                                       agent_initial, dtype,
+                                       stiction=stiction)
     ests = (_init_ests(est_cfg, model, sims, est_key)
             if est_cfg is not None else None)
     sims, asts, ests = _stand_phase(
@@ -433,10 +449,17 @@ def run_batch(
                     asts.mpc_available, k >= loop.mpc_latency_ticks
                 )
             )
+            bf = None
+            if push is not None:
+                p_force, p_start, p_dur = push
+                t = dom_idx * loop.ticks_per_domain + k
+                on = jnp.logical_and(t >= p_start, t < p_start + p_dur)
+                bf = p_force * on[:, None].astype(dtype)
             sims = wb.step_batch(
                 sim_cfg, model, sims, ll_outs.tau,
                 backend=("xla" if backend == "xla" else "fused"), tile=tile,
                 d0=d_b if est_cfg is None else None,
+                base_force=bf,
             )
             return (sims, asts, ests), (sims.q[:, 0:3], ll_outs.qp_converged,
                                         jnp.abs(ll_outs.tau).max(axis=-1),

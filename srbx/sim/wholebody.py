@@ -18,7 +18,7 @@ closed-loop scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,15 +40,56 @@ class SimConfig:
     dn: float = 400.0           # ground normal damping
     kt: float = 600.0           # tangential viscous coefficient
     mu: float = 0.6             # ground friction
+    # Stick-slip tangential model (used only when SimState.con is set):
+    # anchor-spring stiffness / damping. kt_stick at kn/2 keeps the stick
+    # mode's frequency below the normal spring's (stable at the same
+    # substep); dt_stick near-critically damps the ~1 kg toe-effective mass.
+    kt_stick: float = 2e4
+    dt_stick: float = 150.0
+
+
+class ContactState(NamedTuple):
+    """Stick-slip tangential contact state (opt-in; see SimState.con).
+
+    anchor: (4, 2) world xy stick position per toe — the tangential spring
+    attachment point. slip: (4,) cumulative slip distance per toe (m) —
+    the stance-foot slip metric."""
+
+    anchor: jax.Array
+    slip: jax.Array
 
 
 class SimState(NamedTuple):
     q: jax.Array     # (18,)
     qd: jax.Array    # (18,)
+    # Optional stick-slip contact state (init_contact_state). None keeps the
+    # round-1..3 viscous-only tangential model: F_t = -kt v clamped to the
+    # cone, which lets a statically loaded stance foot CREEP at v = F/kt
+    # (~3 cm/s at 20 N — fine for trot's short stance phases, wrong for
+    # POSE/STAND under sustained lateral load). With con set, the tangential
+    # force is an anchor-point spring (stick) that drags only when the cone
+    # saturates (slip) — the spring-damper analogue of RaiSim's hard
+    # stick-slip contact (`src/A1_Sim.cpp:1214` world.integrate()).
+    con: Optional[ContactState] = None
 
 
-def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd):
-    """(4, 3) world ground-reaction forces at the toe sites."""
+def init_contact_state(model: rbd.Model, q) -> ContactState:
+    """Anchors at the current toe xy, zero accumulated slip."""
+    toe_xy = rbd.site_positions(model, q)[a1.TOE_SITES][:, 0:2]
+    return ContactState(anchor=toe_xy, slip=jnp.zeros((4,), q.dtype))
+
+
+def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd, con=None):
+    """(4, 3) world ground-reaction forces at the toe sites.
+
+    con=None: viscous tangential model (returns grf only).
+    con=ContactState: anchor-point stick-slip model — returns
+    (grf, new ContactState). Sticking feet pull toward their anchor with a
+    spring-damper; when the required force leaves the friction cone the
+    anchor is dragged along the force direction so the spring holds exactly
+    the cone-saturated force (kinetic slip), and the drag distance
+    accumulates into the slip metric. Breaking contact re-anchors at the
+    current toe position."""
     toe_pos = rbd.site_positions(model, q)[a1.TOE_SITES]
     toe_vel = rbd.site_velocities(model, q, qd)[a1.TOE_SITES]
 
@@ -56,13 +97,32 @@ def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd):
     active = pen > 0.0
     fz = jnp.where(active, cfg.kn * pen - cfg.dn * toe_vel[:, 2], 0.0)
     fz = jnp.maximum(fz, 0.0)
-
-    ft_raw = -cfg.kt * toe_vel[:, 0:2] * active[:, None]
-    ft_norm = jnp.linalg.norm(ft_raw, axis=1, keepdims=True)
     limit = cfg.mu * fz[:, None]
-    scale = jnp.where(ft_norm > limit, limit / jnp.maximum(ft_norm, 1e-9), 1.0)
+
+    if con is None:
+        ft_raw = -cfg.kt * toe_vel[:, 0:2] * active[:, None]
+        ft_norm = jnp.linalg.norm(ft_raw, axis=1, keepdims=True)
+        scale = jnp.where(ft_norm > limit,
+                          limit / jnp.maximum(ft_norm, 1e-9), 1.0)
+        ft = ft_raw * scale
+        return jnp.concatenate([ft, fz[:, None]], axis=1)
+
+    p_xy = toe_pos[:, 0:2]
+    ft_raw = (-cfg.kt_stick * (p_xy - con.anchor)
+              - cfg.dt_stick * toe_vel[:, 0:2]) * active[:, None]
+    ft_norm = jnp.linalg.norm(ft_raw, axis=1, keepdims=True)
+    slipping = ft_norm > limit
+    scale = jnp.where(slipping, limit / jnp.maximum(ft_norm, 1e-9), 1.0)
     ft = ft_raw * scale
-    return jnp.concatenate([ft, fz[:, None]], axis=1)
+    # kinetic slip: drag the anchor so the spring carries the clamped force
+    anchor_slip = p_xy + ft / cfg.kt_stick
+    anchor_new = jnp.where(active[:, None],
+                           jnp.where(slipping, anchor_slip, con.anchor),
+                           p_xy)
+    drag = jnp.linalg.norm(anchor_new - con.anchor, axis=1)
+    slip_new = con.slip + jnp.where(active & slipping[:, 0], drag, 0.0)
+    grf = jnp.concatenate([ft, fz[:, None]], axis=1)
+    return grf, ContactState(anchor=anchor_new, slip=slip_new)
 
 
 def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints,
@@ -79,17 +139,20 @@ def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints,
         tau_full = tau_full.at[0:3].add(base_force)
 
     def sub(carry, _):
-        q, qd = carry
-        grf = contact_forces(cfg, model, q, qd)
+        q, qd, con = carry
+        if con is None:
+            grf = contact_forces(cfg, model, q, qd)
+        else:
+            grf, con = contact_forces(cfg, model, q, qd, con)
         f_sites = jnp.zeros((len(model.sites), 3), q.dtype).at[0:4].set(grf)
         qdd = rbd.forward_dynamics(model, q, qd, tau_full, f_ext_sites=f_sites)
         qd2 = qd + dt * qdd
         q2 = q + dt * qd2
-        return (q2, qd2), None
+        return (q2, qd2, con), None
 
-    (q, qd), _ = jax.lax.scan(sub, (state.q, state.qd), None,
-                              length=cfg.substeps, unroll=True)
-    return SimState(q, qd)
+    (q, qd, con), _ = jax.lax.scan(sub, (state.q, state.qd, state.con), None,
+                                   length=cfg.substeps, unroll=True)
+    return SimState(q, qd, con)
 
 
 def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
@@ -122,9 +185,14 @@ def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
     n_sites = len(model.sites)
 
     def sub(carry, k):
-        q, qd = carry
-        grf = jax.vmap(lambda qq, qdd: contact_forces(cfg, model, qq, qdd))(
-            q, qd)
+        q, qd, con = carry
+        if con is None:
+            grf = jax.vmap(
+                lambda qq, qdd: contact_forces(cfg, model, qq, qdd))(q, qd)
+        else:
+            grf, con = jax.vmap(
+                lambda qq, qdd, cc: contact_forces(cfg, model, qq, qdd, cc)
+            )(q, qd, con)
         f_sites = jnp.zeros((bsz, n_sites, 3), dtype).at[:, 0:4].set(grf)
         d_k = None
         if d0 is not None:
@@ -135,11 +203,11 @@ def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
             backend=backend, tile=tile, d=d_k)
         qd2 = qd + dt * qdd
         q2 = q + dt * qd2
-        return (q2, qd2), None
+        return (q2, qd2, con), None
 
     # unrolled python loop (substeps is tiny/static) so the d0 reuse can
     # specialize the first substep
-    carry = (states.q, states.qd)
+    carry = (states.q, states.qd, states.con)
     for k in range(cfg.substeps):
         carry, _ = sub(carry, k)
     return SimState(*carry)
