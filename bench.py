@@ -38,7 +38,8 @@ def main():
     # level tile=512 wins (366,961 vs 361k at 256 and 1024) — larger tiles
     # amortize Mosaic per-op overhead until they start hurting the
     # assembly/fit stages' fusion.
-    tile = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tile = int(argv[0]) if argv else 512
 
     from srbx import mpc, mpc_batch, refplan
     from srbx.config import MpcConfig, QpConfig
@@ -51,8 +52,20 @@ def main():
 
     cfg = MpcConfig(use_sqp=True, sqp_iters=2, elide_box_rows=True,
                     elide_simplex=True)
-    qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
-                      reg_dual=1e-6, max_iters=12)
+    # --strict: iSWIFT-equivalent stopping (RELTOL/ABSTOL 1e-6, MAXIT 25 —
+    # `optimization/iSWIFT/include/GlobalOptions.h:23-26`) with KKT
+    # iterative refinement, so the headline is tolerance-comparable to the
+    # solver it replaces (VERDICT r3 #7). The default headline keeps the
+    # campaign-validated relaxed-f32 operating point.
+    strict = "--strict" in sys.argv[1:]
+    if strict:
+        qp_cfg = QpConfig(abstol=1e-6, reltol=1e-6, reg_primal=1e-6,
+                          reg_dual=1e-6, max_iters=25)
+    else:
+        # kkt_refine_iters=0: at 2e-3 stopping the O(delta) direction bias
+        # is far below tolerance; refinement would only cost throughput.
+        qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6,
+                          reg_dual=1e-6, max_iters=12, kkt_refine_iters=0)
 
     ref_cfg = refplan.two_agent_config(loop_size=4_000)
     p_start = jnp.asarray([0.0, 0.5, 0.0, -0.5], dtype)
@@ -103,7 +116,7 @@ def main():
             cfg, qp_cfg, mpc.MpcCarry(dom, alpha), q, dq, toes, ci,
             pr, prd, a0s, pobs_b, backend=backend, tile=tile, condensed=True,
         )
-        return out.states, out.alpha_com
+        return out.states, out.alpha_com, out.qp_converged
 
     jfn = jax.jit(fn)
     args = (dom, alpha, q, dq, ci)
@@ -121,16 +134,18 @@ def main():
     dt = time.perf_counter() - t0
 
     solves_per_sec = batch * reps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "nmpc_solves_per_sec_per_chip",
-                "value": round(solves_per_sec, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / 50.0, 2),
-            }
-        )
-    )
+    rec = {
+        "metric": ("nmpc_solves_per_sec_per_chip_strict" if strict
+                   else "nmpc_solves_per_sec_per_chip"),
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / 50.0, 2),
+    }
+    if strict:
+        rec["converged_frac"] = round(
+            float(np.mean(np.asarray(out[2], np.float64))), 4)
+        rec["qp_tol"] = "abstol=reltol=1e-6, maxit 25 (iSWIFT-equivalent)"
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -150,6 +150,26 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
             dx = t - _mv(at_scr[:], dy)
             return dx, dy
 
+        def kkt_solve_refined(r1, r2, w):
+            """kkt_solve + cfg.kkt_refine_iters rounds of iterative
+            refinement against the UNregularized operator [P+GᵀWG Aᵀ; A 0]
+            — same rationale as qp._kkt_solve_refined (the static shifts
+            bias every direction by O(δ); the iSWIFT cross-validation
+            measured the stall, docs/ROUND4.md). Triangular solves only,
+            no extra factorizations."""
+            dx, dy = kkt_solve(r1, r2)
+            for _ in range(cfg.kkt_refine_iters):
+                mx = _mv(p_ref[:], dx) + _mtv(g_ref[:], w * _mv(g_ref[:], dx))
+                if noeq:
+                    t2 = None
+                else:
+                    mx = mx + _mtv(a_ref[:], dy)
+                    t2 = r2 - _mv(a_ref[:], dx)
+                ddx, ddy = kkt_solve(r1 - mx, t2)
+                dx = dx + ddx
+                dy = dy + ddy
+            return dx, dy
+
         def residuals(x, y, s, z):
             rx = _mv(p_ref[:], x) + c_ref[:] + _mtv(g_ref[:], z)
             if noeq:
@@ -229,7 +249,7 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
 
                 r_c = -s * z
                 r1 = -rx - _mtv(g_ref[:], r_c / s + w * rz)
-                dx_a, dy_a = kkt_solve(r1, None if noeq else -ry)
+                dx_a, dy_a = kkt_solve_refined(r1, None if noeq else -ry, w)
                 ds_a = -rz - _mv(g_ref[:], dx_a)
                 dz_a = (r_c - z * ds_a) / s
 
@@ -244,7 +264,7 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
 
                 r_c2 = sigma[None, :] * mu[None, :] - s * z - ds_a * dz_a
                 r1c = -rx - _mtv(g_ref[:], r_c2 / s + w * rz)
-                dx, dy = kkt_solve(r1c, None if noeq else -ry)
+                dx, dy = kkt_solve_refined(r1c, None if noeq else -ry, w)
                 ds = -rz - _mv(g_ref[:], dx)
                 dz = (r_c2 - z * ds) / s
 
