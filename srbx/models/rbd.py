@@ -370,10 +370,13 @@ def apply_site_forces(model: Model, q, f_sites):
     return pull(f_sites)[0]
 
 
-def forward_dynamics(model: Model, q, qd, tau, f_ext_sites=None):
+def forward_dynamics(model: Model, q, qd, tau, f_ext_sites=None, d=None):
     """q̈ = D⁻¹(Bτ + Σ Jᵀ f_ext − H). tau: (nq,) generalized forces;
-    f_ext_sites: optional (n_sites, 3) world forces applied at sites."""
-    d = mass_matrix(model, q)
+    f_ext_sites: optional (n_sites, 3) world forces applied at sites.
+    d: optional precomputed mass matrix D(q) (CRBA sharing: the controller
+    evaluates the same CRBA at the same q in ground-truth mode)."""
+    if d is None:
+        d = mass_matrix(model, q)
     h = bias_forces(model, q, qd)
     rhs = tau - h
     if f_ext_sites is not None:

@@ -126,33 +126,40 @@ def contact_forces(cfg: SimConfig, model: rbd.Model, q, qd, con=None):
 
 
 def step(cfg: SimConfig, model: rbd.Model, state: SimState, tau_joints,
-         base_force=None):
+         base_force=None, d0=None):
     """One 1 ms tick under joint torques tau_joints (12,).
 
     base_force: optional (3,) world force on the trunk — the fault-injection
     analogue of the reference's external disturbance generator
     (`src/A1_Sim.cpp:84-107`).
+    d0: optional precomputed D(q) for the FIRST substep (CRBA sharing with
+    a ground-truth controller that evaluated D at the same q — the host
+    1 kHz path's analogue of step_batch's d0).
     """
     dt = cfg.dt / cfg.substeps
     tau_full = jnp.zeros((model.nq,), state.q.dtype).at[6:].set(tau_joints)
     if base_force is not None:
         tau_full = tau_full.at[0:3].add(base_force)
 
-    def sub(carry, _):
+    def sub(carry, k):
         q, qd, con = carry
         if con is None:
             grf = contact_forces(cfg, model, q, qd)
         else:
             grf, con = contact_forces(cfg, model, q, qd, con)
         f_sites = jnp.zeros((len(model.sites), 3), q.dtype).at[0:4].set(grf)
-        qdd = rbd.forward_dynamics(model, q, qd, tau_full, f_ext_sites=f_sites)
+        d_k = d0 if (d0 is not None and k == 0) else None
+        qdd = rbd.forward_dynamics(model, q, qd, tau_full,
+                                   f_ext_sites=f_sites, d=d_k)
         qd2 = qd + dt * qdd
         q2 = q + dt * qd2
         return (q2, qd2, con), None
 
-    (q, qd, con), _ = jax.lax.scan(sub, (state.q, state.qd, state.con), None,
-                                   length=cfg.substeps, unroll=True)
-    return SimState(q, qd, con)
+    # static unroll so the d0 reuse specializes substep 0
+    carry = (state.q, state.qd, state.con)
+    for k in range(cfg.substeps):
+        carry, _ = sub(carry, k)
+    return SimState(*carry)
 
 
 def step_batch(cfg: SimConfig, model: rbd.Model, states: SimState,
