@@ -1,48 +1,51 @@
 """Reproduce the reference's checked-in APF logs (VERDICT r3 #2).
 
 `Sim_Outputs/HLPath.txt` / `HLVelocity.txt` are the only reference-PRODUCED
-numeric outputs whose generating scenario is recoverable:
+numeric outputs in the repo (8 rows = 4 agents x (x,y), 2500 knots, one
+knot per 40 rollout steps of `MPC_dist::generateReferenceTrajectory`,
+`src/MPC_dist.cpp:930-1104`). This script validates srbx's `refplan`
+against them — the strongest reference-parity evidence available for the
+APF planner.
 
-  * generator: the 4-agent `MPC_dist::generateReferenceTrajectory`
-    (`src/MPC_dist.cpp:930-1104`) — the logs have 8 rows = 2 per agent x 4;
-  * Pstart = (0,0), (0,-0.9), (-1,0), (-1,-0.9)
-    (`src/A1_Sim_4_agents.cpp:862`, the only active 4-agent driver);
-  * Pobs = the "EXP 03 and Sim 1 / Sim 2" 9-obstacle field
-    (`src/A1_Sim_4_agents.cpp:869-870`), incl. the parked obstacle at
-    (-100, 99.5);
-  * goal (10,0) (`include/global_loco_opts.h:12-13`); constants
-    alpha=150, eta=400, dmin=1, LJ (eps=60, sigma=1), ramp 1000,
-    100k steps, downsample 40 (`src/MPC_dist.cpp:932-936`);
-  * the literal hard-coded Ad/Bd (`src/MPC_dist.cpp:945-960`) — srbx's
-    reference_matrices mode (`refplan.four_agent_config`).
+What we established (full derivation in docs/ROUND4.md §8):
 
-Two quirks of the reference's logging reproduced exactly:
-  * knots start at downsampled column 2 (rollout step 80);
-  * the LAST TWO columns are junk: the reference downsamples its rollout
-    buffer IN PLACE for i < loopSize/40 and then reads two columns past
-    that prefix (`src/MPC_dist.cpp:1045-1061`), so columns 2498-2499 of
-    the log are the RAW rollout states at steps 2500 and 2501 (visible in
-    the file: position jumps from the converged (2.58, 1.06) to mid-flight
-    (0.55, 0.49) with velocity 0.14).
+1. The checked-in source does NOT reproduce the checked-in log. A literal
+   transcription of the C++ (and srbx's refplan in reference-matrix mode,
+   which matches that transcription to 1e-12) diverges from the log at the
+   very first knot, and in the log the agents pass within 0.19 m of the
+   active "EXP 03" obstacle field's obstacles — positions the published
+   repulsion law (eta=400, dmin=1) makes dynamically unreachable. The log
+   predates the checked-in field.
 
-Notably the logged run is a STUCK run: all four agents settle in an APF
-local equilibrium behind the x=3 obstacle wall at ~(2.6, 1.1), never
-reaching the goal — faithfully reproduced here.
+2. The generating scenario is recoverable from the log itself:
+   * Per-knot implied forces (40-step constant-force deconvolution of the
+     velocity knots) regressed against the force-law structure identify
+     the published constants EXACTLY: alpha=150, eta=400, eps=60, sigma=1,
+     dmin=1 (`src/MPC_dist.cpp:932-933`), LJ coefficients ~1.0 per agent
+     pair for the agents in obstacle-free space.
+   * A 9-obstacle field fitted by multiple shooting (integrate 40 steps
+     from every gold knot, least-squares over the 18 obstacle coordinates,
+     2420 knots x 4 agents) reproduces EVERY knot-to-knot transition of
+     the log to ~0.4 mm rms / ~4.9 mm max (`refplan.HLPATH_RECOVERED_POBS`).
 
-Writes docs/HLPATH_REPRO.json. The fast regression version lives in
-tests/test_refplan.py::test_hlpath_reference_reproduction.
+3. Full-horizon replay from t=0 with the recovered field tracks the log
+   knot-for-knot (<5 cm) for ~460 knots (~20 s of planned motion) and then
+   diverges: the APF team dynamics near the x~3.4 obstacle wall are
+   chaotic (whether agents 2/3 thread the wall gap is knife-edge), so
+   mm-level field uncertainty is exponentially amplified. The per-knot
+   transition test above is the chaos-free statement of equivalence.
+
+Writes docs/HLPATH_REPRO.json. Fast regression: tests/test_refplan.py::
+test_hlpath_reference_reproduction.
 """
 
+import json
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-
-import os
-
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
-import json
 
 import jax
 
@@ -54,48 +57,86 @@ import numpy as np
 from srbx import refplan
 
 REF = pathlib.Path("/root/reference/Sim_Outputs")
-
 P_START = jnp.asarray([0.0, 0.0, 0.0, -0.9, -1.0, 0.0, -1.0, -0.9])
-POBS = jnp.asarray([
-    [2.2, 1.0, 1.0, 1.0, 1.0, 3.0, 3.0, 3.0, -100.0],
-    [0.9, 1.0, -0.75, 2.0, -1.75, 0.5, -0.25, -1.75, -0.5 + 100.0],
+# the field checked into the driver today (`src/A1_Sim_4_agents.cpp:869-870`)
+POBS_EXP03 = jnp.asarray([
+    [2.2, 1, 1, 1, 1, 3, 3, 3, -100.0],
+    [0.9, 1, -0.75, 2, -1.75, 0.5, -0.25, -1.75, 99.5],
 ])
 
 
-def main():
+def load_gold():
     gold_p = np.loadtxt(REF / "HLPath.txt")
     gold_v = np.loadtxt(REF / "HLVelocity.txt")
     assert gold_p.shape == (8, 2500)
+    nk = gold_p.shape[1]
+    gp = gold_p.reshape(4, 2, nk).transpose(2, 0, 1)   # (knot, agent, xy)
+    gv = gold_v.reshape(4, 2, nk).transpose(2, 0, 1)
+    return gp, gv
 
+
+def shooting_errors(cfg, gp, gv, pobs, k0=25, k1=2445):
+    """Integrate 40 steps from every gold knot; error vs the next knot."""
+    pos0 = jnp.asarray(gp[k0:k1])                       # (nk, 4, 2)
+    vel0 = jnp.asarray(gv[k0:k1])
+    shoot = jax.vmap(
+        lambda p, v: refplan.rollout_window(cfg, p, v, pobs, 40, 2000))
+    pos1, _ = shoot(pos0, vel0)
+    err = np.linalg.norm(np.asarray(pos1) - gp[k0 + 1:k1 + 1], axis=2)
+    return err                                          # (nk, 4) metres
+
+
+def full_replay(cfg, gp, pobs):
+    ref = refplan.generate(cfg, P_START, pobs)
+    pr = np.asarray(ref.pr).reshape(4, 2, -1).transpose(2, 0, 1)
+    err = np.linalg.norm(pr[:2498] - gp[:2498], axis=2).max(axis=1)
+    horizon = int(np.argmax(err > 0.05)) if (err > 0.05).any() else 2498
+    return err, horizon
+
+
+def main():
+    gp, gv = load_gold()
     cfg = refplan.four_agent_config(reference_matrices=True)
-    (ref, (pos_raw, vel_raw)) = refplan.generate(
-        cfg, P_START, POBS, return_raw=True)
-    pr = np.array(ref.pr)
-    prd = np.array(ref.prd)
 
-    # reference tail quirk: raw rollout states at steps 2500, 2501
-    raw_p = np.asarray(pos_raw)[[2500, 2501]]     # (2, 4, 2)
-    raw_v = np.asarray(vel_raw)[[2500, 2501]]
-    pr[:, -2:] = raw_p.transpose(1, 2, 0).reshape(8, 2)
-    prd[:, -2:] = raw_v.transpose(1, 2, 0).reshape(8, 2)
+    # Leg 1: the checked-in field — demonstrates the divergence.
+    err_exp03, horizon_exp03 = full_replay(cfg, gp, POBS_EXP03)
 
-    # the log carries ~6 significant digits (Eigen default ostream
-    # precision); compare absolutely against the printed values.
-    err_p = np.abs(pr - gold_p)
-    err_v = np.abs(prd - gold_v)
-    rel_p = err_p / np.maximum(np.abs(gold_p), 1e-3)
+    # Leg 2: recovered field — knot-transition (shooting) validation.
+    pobs_rec = jnp.asarray(refplan.HLPATH_RECOVERED_POBS)
+    err_shoot = shooting_errors(cfg, gp, gv, pobs_rec)
+
+    # Leg 3: recovered field — full replay from t=0.
+    err_replay, horizon_rec = full_replay(cfg, gp, pobs_rec)
 
     out = {
         "n_knots": 2500,
-        "pos_max_abs_err": float(err_p.max()),
-        "pos_max_rel_err": float(rel_p.max()),
-        "vel_max_abs_err": float(err_v.max()),
-        "tail_junk_knots_reproduced": bool(err_p[:, -2:].max() < 1e-4),
-        "stuck_equilibrium_xy_agent0": [float(pr[0, 2497]),
-                                        float(pr[1, 2497])],
+        "checked_in_field": {
+            "divergence_horizon_knots_at_5cm": horizon_exp03,
+            "final_max_err_m": float(err_exp03.max()),
+            "verdict": "the checked-in EXP03 field did not generate the log",
+        },
+        "recovered_constants": {
+            "alpha": 150.0, "eta": 400.0, "lj_epsilon": 60.0,
+            "lj_sigma": 1.0, "dmin": 1.0,
+            "note": "free-constant regression converges to the published "
+                    "values; only the obstacle field differs from source",
+        },
+        "recovered_field_pobs": np.asarray(
+            refplan.HLPATH_RECOVERED_POBS).tolist(),
+        "knot_transition_errors_m": {
+            "rms": float(np.sqrt((err_shoot ** 2).mean())),
+            "p99": float(np.percentile(err_shoot, 99)),
+            "max": float(err_shoot.max()),
+        },
+        "full_replay_recovered_field": {
+            "divergence_horizon_knots_at_5cm": horizon_rec,
+            "note": "APF team dynamics near the obstacle wall are chaotic; "
+                    "mm-level field uncertainty is exponentially amplified, "
+                    "so the knot-transition test is the chaos-free parity "
+                    "statement",
+        },
         "scenario": {
             "p_start": np.asarray(P_START).tolist(),
-            "pobs": np.asarray(POBS).tolist(),
             "goal": [10.0, 0.0],
         },
     }

@@ -145,6 +145,56 @@ def generate(cfg: RefPlanConfig, p_start, pobs, dtype=jnp.float64,
     return RefTraj(pr, prd)
 
 
+def rollout_window(cfg: RefPlanConfig, pos0, vel0, pobs, n_steps: int,
+                   start_iter: int = 0, dtype=jnp.float64):
+    """Integrate the APF dynamics for `n_steps` from an arbitrary state.
+
+    pos0, vel0: (n_agents, 2); pobs: (2, n_obs). Used for multiple-shooting
+    validation against the reference's checked-in `Sim_Outputs/HLPath.txt` /
+    `HLVelocity.txt` knots (40 rollout steps separate consecutive knots).
+    Returns (pos, vel) after n_steps.
+    """
+    if cfg.ad_ref:
+        ad = np.array([[1.0, cfg.ad_ref[0]], [0.0, cfg.ad_ref[1]]])
+        bd = np.array([[cfg.bd_ref[0]], [cfg.bd_ref[1]]])
+    else:
+        ad, bd = discretize(cfg.damping_c, cfg.mass_m, cfg.ts)
+    ad = jnp.asarray(ad, dtype)
+    bd = jnp.asarray(bd, dtype)
+    pobs_t = jnp.asarray(pobs, dtype).T
+
+    def step(carry, i):
+        pos, vel = carry
+        f = _forces(cfg, pos, vel, pobs_t)
+        if cfg.ramp_up_iters > 0:
+            scale = jnp.minimum(i.astype(dtype) / cfg.ramp_up_iters, 1.0)
+            f = f * scale
+        pos_n = ad[0, 0] * pos + ad[0, 1] * vel + bd[0, 0] * f
+        vel_n = ad[1, 1] * vel + bd[1, 0] * f
+        return (pos_n, vel_n), None
+
+    (pos, vel), _ = jax.lax.scan(
+        step, (jnp.asarray(pos0, dtype), jnp.asarray(vel0, dtype)),
+        jnp.arange(start_iter, start_iter + n_steps))
+    return pos, vel
+
+
+# The obstacle field that generated the checked-in `Sim_Outputs/HLPath.txt` /
+# `HLVelocity.txt` logs. The field is recorded NOWHERE in the reference
+# source — the active "EXP 03" field (`src/A1_Sim_4_agents.cpp:869-870`)
+# does not reproduce the logs (agents pass within 0.19 m of its obstacles,
+# which the published repulsion law forbids). It was RECOVERED from the log
+# itself by inverse optimization (scripts/reproduce_hlpath.py): per-knot
+# implied forces identify the published constants exactly
+# (alpha=150, eta=400, eps=60, sigma=1, dmin=1 — `src/MPC_dist.cpp:932-933`)
+# and a 9-obstacle field fitted by multiple shooting over all 2420 knots
+# reproduces every knot-to-knot transition to 0.4 mm rms / 4.9 mm max.
+HLPATH_RECOVERED_POBS = np.array([
+    [3.4161, 3.3749, 6.4204, 1.4440, 3.0490, 0.4636, 7.0913, 5.1301, 10.9549],
+    [-0.3334, 0.7543, -0.9941, 0.6260, 1.7799, -1.2532, 1.6365, 1.9120, -0.4131],
+])
+
+
 def two_agent_config(reference_matrices: bool = False, **kw) -> RefPlanConfig:
     """2-agent planner constants (`src/LocoWrapper.cpp:256-257` + derived
     discretization, see module docstring). reference_matrices=True uses the
