@@ -123,6 +123,26 @@ def _solve_kkt(l_m, l_s, minv_at, A, r1, r2, cho_solve):
     return dx, dy
 
 
+def _solve_kkt_refined(l_m, l_s, minv_at, P, A, G, w, r1, r2, cho_solve,
+                       iters: int):
+    """_solve_kkt + `iters` rounds of iterative refinement against the
+    UNregularized operator [P+GᵀWG  Aᵀ; A  0] — the batched analogue of
+    srbx.ops.qp._kkt_solve_refined (the two paths are equivalence
+    test-enforced; see that docstring for why the static shifts must be
+    refined away after Ruiz equilibration)."""
+    dx, dy = _solve_kkt(l_m, l_s, minv_at, A, r1, r2, cho_solve)
+    for _ in range(iters):
+        gdx = jnp.einsum("bmn,bn->bm", G, dx)
+        t1 = r1 - (jnp.einsum("bnm,bm->bn", P, dx)
+                   + jnp.einsum("bmn,bm->bn", G, w * gdx)
+                   + jnp.einsum("bmn,bm->bn", A, dy))
+        t2 = r2 - jnp.einsum("bmn,bn->bm", A, dx)
+        ddx, ddy = _solve_kkt(l_m, l_s, minv_at, A, t1, t2, cho_solve)
+        dx = dx + ddx
+        dy = dy + ddy
+    return dx, dy
+
+
 def _step_len(v, dv):
     ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
     return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
@@ -232,7 +252,9 @@ def _solve_impl(P, c, A, b, G, h, cfg, backend, tile, interpret, x0):
 
         r_c = -s * z
         r1 = -rx - jnp.einsum("bmn,bm->bn", G, r_c / s + w * rz)
-        dx_a, dy_a = _solve_kkt(l_m, l_s, minv_at, A, r1, -ry, cho_solve)
+        dx_a, dy_a = _solve_kkt_refined(l_m, l_s, minv_at, P, A, G, w,
+                                        r1, -ry, cho_solve,
+                                        cfg.kkt_refine_iters)
         ds_a = -rz - jnp.einsum("bmn,bn->bm", G, dx_a)
         dz_a = (r_c - z * ds_a) / s
 
@@ -245,7 +267,9 @@ def _solve_impl(P, c, A, b, G, h, cfg, backend, tile, interpret, x0):
 
         r_c2 = sigma[:, None] * mu[:, None] - s * z - ds_a * dz_a
         r1c = -rx - jnp.einsum("bmn,bm->bn", G, r_c2 / s + w * rz)
-        dx, dy = _solve_kkt(l_m, l_s, minv_at, A, r1c, -ry, cho_solve)
+        dx, dy = _solve_kkt_refined(l_m, l_s, minv_at, P, A, G, w,
+                                    r1c, -ry, cho_solve,
+                                    cfg.kkt_refine_iters)
         ds = -rz - jnp.einsum("bmn,bn->bm", G, dx)
         dz = (r_c2 - z * ds) / s
 

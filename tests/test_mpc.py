@@ -271,3 +271,44 @@ def test_sqp_linesearch_inactive_when_full_steps_fine():
         np.testing.assert_allclose(
             np.asarray(a.states), np.asarray(b.states), atol=1e-12
         )
+
+
+def test_mpc_dist_fixture_reconstruction():
+    """Validate srbx's NMPC QP formulation against the reference-PRODUCED
+    solution fixture `matlab_dbg/MPC_dist.txt` (dumped by `logMPC_Data`,
+    `src/MPC_dist.cpp:1139-1177`).
+
+    The generating instance is reconstructed from the solution itself
+    (scripts/reproduce_mpc_fixture.py, docs/ROUND4.md §9): the logged
+    vector must satisfy srbx's equality structure — LIP Taylor-3 rollout at
+    the recovered historical constants (h=0.22, Ts=0.05), COP = footprint
+    convex combination, sum-lambda=1 — and re-solving the srbx-assembled QP
+    must land within the fixture's unrecorded-cost-tuning envelope.
+    """
+    import pathlib
+    import sys
+
+    ref = pathlib.Path("/root/reference/matlab_dbg")
+    if not ref.exists():  # pragma: no cover - reference snapshot required
+        import pytest
+
+        pytest.skip("reference matlab_dbg not available")
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    import reproduce_mpc_fixture as rmf
+
+    r = rmf.reconstruct()
+    assert r["fp_residual"] < 1e-12          # COP structure: exact
+    assert r["fp_rank"] == 8
+    assert r["dyn_residual"] < 5e-7          # LIP Taylor-3 rollout: exact
+    assert r["cop_residual"] < 1e-12
+    assert r["sumlam_residual"] < 5e-4       # 6-digit log rounding
+    assert r["min_ineq_slack"] > 0           # interior optimum
+    assert r["resolve_dx"] < 1e-2            # unrecorded cost tuning bound
+    assert r["resolve_du"] < 1e-2
+    # recovered stance rectangle: front/back x, left/right y signs
+    fp = r["fp"]
+    assert fp[0, 0] > 0.15 and fp[0, 1] > 0.15      # front legs forward
+    assert fp[0, 2] < -0.1 and fp[0, 3] < -0.1      # rear legs back
+    assert fp[1, 1] > 0.1 and fp[1, 3] > 0.1        # left legs +y
+    assert fp[1, 0] < -0.1 and fp[1, 2] < -0.1      # right legs -y
