@@ -17,7 +17,11 @@ What we established (full derivation in docs/ROUND4.md §8):
    repulsion law (eta=400, dmin=1) makes dynamically unreachable. The log
    predates the checked-in field.
 
-2. The generating scenario is recoverable from the log itself:
+2. The generating scenario is recoverable from the log itself — the
+   fitting pipeline is `scripts/recover_hlpath_scenario.py` (force
+   deconvolution -> constant regression -> repulsion inversion/clustering
+   -> multiple-shooting refinement); this script VALIDATES its output
+   (`refplan.HLPATH_RECOVERED_POBS`):
    * Per-knot implied forces (40-step constant-force deconvolution of the
      velocity knots) regressed against the force-law structure identify
      the published constants EXACTLY: alpha=150, eta=400, eps=60, sigma=1,
@@ -26,10 +30,10 @@ What we established (full derivation in docs/ROUND4.md §8):
    * A 9-obstacle field fitted by multiple shooting (integrate 40 steps
      from every gold knot, least-squares over the 18 obstacle coordinates,
      2420 knots x 4 agents) reproduces EVERY knot-to-knot transition of
-     the log to ~0.4 mm rms / ~4.9 mm max (`refplan.HLPATH_RECOVERED_POBS`).
+     the log to 0.57 mm rms / 5.6 mm max (docs/HLPATH_REPRO.json).
 
 3. Full-horizon replay from t=0 with the recovered field tracks the log
-   knot-for-knot (<5 cm) for ~460 knots (~20 s of planned motion) and then
+   knot-for-knot (<5 cm) for 470 knots (~20 s of planned motion) and then
    diverges: the APF team dynamics near the x~3.4 obstacle wall are
    chaotic (whether agents 2/3 thread the wall gap is knife-edge), so
    mm-level field uncertainty is exponentially amplified. The per-knot

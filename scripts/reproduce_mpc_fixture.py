@@ -27,7 +27,7 @@ against reference-produced numbers:
    3e-7, -2e-3) — the first MPC cycle of a run starting at the origin
    (matching COM_dist.txt's ref window, which starts at 0).
 4. **Optimality**: all inequality rows are slack (interior optimum,
-   min slack 0.11); re-solving the srbx-assembled QP (COM_dist.txt ref,
+   min slack 0.076); re-solving the srbx-assembled QP (COM_dist.txt ref,
    snapshot weights) with srbx.ops.qp reproduces the logged solution to
    max |dX| ~ 4e-3, |dU| ~ 3e-3. The residual gap is the fixture's
    unrecorded cost tuning: the KKT system at the logged point has an
@@ -52,63 +52,9 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-import jax.numpy as jnp
-import numpy as np
-
-from srbx import ocp
-from srbx.config import LipConfig, MpcConfig
-from srbx.models import lip
-from srbx.ops import qp as qpmod
-
-REF = pathlib.Path("/root/reference/matlab_dbg")
-
-# recovered historical LIP constants (see module docstring, step 2)
-H_FIXTURE = 0.22
-TS_FIXTURE = 0.05
-
-
-def reconstruct():
-    sol = np.loadtxt(REF / "MPC_dist.txt")
-    assert sol.shape == (41,)
-    x_knots = sol[:16]
-    u_knots = sol[16:24]
-    lam = sol[24:40].reshape(4, 4)
-    com = np.loadtxt(REF / "COM_dist.txt")          # (4 rows x,dx,y,dy; 4 knots)
-
-    lipc = LipConfig(h=H_FIXTURE, ts=TS_FIXTURE)
-    cfg = MpcConfig(lip=lipc)
-    ad, bd = map(np.asarray, lip.discrete(lipc))
-
-    x0 = np.linalg.solve(ad, x_knots[:4] - bd @ u_knots[:2])
-
-    m = np.zeros((8, 8))
-    for k in range(4):
-        m[2 * k, 0:4] = lam[k]
-        m[2 * k + 1, 4:8] = lam[k]
-    fp_flat, _, rank, _ = np.linalg.lstsq(m, u_knots, rcond=None)
-    fp = fp_flat.reshape(2, 4)
-    fp_residual = float(np.abs(m @ fp_flat - u_knots).max())
-
-    data = ocp.assemble(cfg, jnp.asarray(x0), jnp.asarray(com),
-                        jnp.asarray(fp), jnp.ones(4))
-    eq_res = np.asarray(data.A) @ sol - np.asarray(data.b)
-    ineq_slack = np.asarray(data.h) - np.asarray(data.G) @ sol
-
-    out = qpmod.solve(data.P, data.c, data.A, data.b, data.G, data.h,
-                      qpmod.QpConfig(max_iters=60, abstol=1e-11, reltol=1e-11))
-    x = np.asarray(out.x)
-    return {
-        "sol": sol, "x0": x0, "fp": fp, "fp_residual": fp_residual,
-        "fp_rank": int(rank),
-        "dyn_residual": float(np.abs(eq_res[:16]).max()),
-        "cop_residual": float(np.abs(eq_res[16:24]).max()),
-        "sumlam_residual": float(np.abs(eq_res[24:28]).max()),
-        "min_ineq_slack": float(ineq_slack.min()),
-        "resolve_dx": float(np.abs(x[:16] - x_knots).max()),
-        "resolve_du": float(np.abs(x[16:24] - u_knots).max()),
-        "resolve_dlam": float(np.abs(x[24:40] - sol[24:40]).max()),
-        "resolve_slack": float(x[40]),
-    }
+# the reconstruction itself lives in srbx.eval.mpc_fixture (importable,
+# free of environment mutation — tests import it directly)
+from srbx.eval.mpc_fixture import H_FIXTURE, TS_FIXTURE, reconstruct
 
 
 def main():

@@ -88,6 +88,42 @@ def _forces(cfg: RefPlanConfig, pos, vel, pobs):
     return jnp.where(d_goal < 0.001, 0.0, f)
 
 
+def resolve_matrices(cfg: RefPlanConfig, dtype=jnp.float64):
+    """Resolve the per-axis discrete (Ad, Bd) for a planner config.
+
+    Reference-matrix mode (cfg.ad_ref set) uses the literal hard-coded
+    discretization (`src/MPC_dist.cpp:945-960` / `src/LocoWrapper.cpp:265-279`)
+    for bit-reproduction of the checked-in Sim_Outputs logs; otherwise the
+    exact ZOH closed form. Shared by `generate` and `rollout_window` so the
+    production planner and the parity-validation path cannot desynchronize.
+    """
+    if cfg.ad_ref:
+        ad = np.array([[1.0, cfg.ad_ref[0]], [0.0, cfg.ad_ref[1]]])
+        bd = np.array([[cfg.bd_ref[0]], [cfg.bd_ref[1]]])
+    else:
+        ad, bd = discretize(cfg.damping_c, cfg.mass_m, cfg.ts)
+    return jnp.asarray(ad, dtype), jnp.asarray(bd, dtype)
+
+
+def _make_step(cfg: RefPlanConfig, ad, bd, pobs_t, dtype, record: bool):
+    """One APF rollout step (forces + ramp + damped double integrator),
+    shared by `generate` (record=True: emits the pre-step state for the
+    downsampled history) and `rollout_window` (record=False)."""
+
+    def step(carry, i):
+        pos, vel = carry
+        f = _forces(cfg, pos, vel, pobs_t)
+        if cfg.ramp_up_iters > 0:
+            scale = jnp.minimum(i.astype(dtype) / cfg.ramp_up_iters, 1.0)
+            f = f * scale
+        # per-axis damped double integrator
+        pos_n = ad[0, 0] * pos + ad[0, 1] * vel + bd[0, 0] * f
+        vel_n = ad[1, 1] * vel + bd[1, 0] * f
+        return (pos_n, vel_n), ((pos, vel) if record else None)
+
+    return step
+
+
 def generate(cfg: RefPlanConfig, p_start, pobs, dtype=jnp.float64,
              return_raw: bool = False) -> RefTraj:
     """Roll the APF planner and downsample.
@@ -101,32 +137,13 @@ def generate(cfg: RefPlanConfig, p_start, pobs, dtype=jnp.float64,
     prefix of its in-place-overwritten buffer).
     """
     na = cfg.n_agents
-    if cfg.ad_ref:
-        # reference-matrix mode: the literal hard-coded discretization
-        # (`src/MPC_dist.cpp:945-960`), for bit-reproduction of the
-        # checked-in Sim_Outputs logs.
-        ad = np.array([[1.0, cfg.ad_ref[0]], [0.0, cfg.ad_ref[1]]])
-        bd = np.array([[cfg.bd_ref[0]], [cfg.bd_ref[1]]])
-    else:
-        ad, bd = discretize(cfg.damping_c, cfg.mass_m, cfg.ts)
-    ad = jnp.asarray(ad, dtype)
-    bd = jnp.asarray(bd, dtype)
+    ad, bd = resolve_matrices(cfg, dtype)
     pobs_t = pobs.T.astype(dtype)              # (n_obs, 2)
 
     pos0 = p_start.reshape(na, 2).astype(dtype)
     vel0 = jnp.zeros_like(pos0)
 
-    def step(carry, i):
-        pos, vel = carry
-        f = _forces(cfg, pos, vel, pobs_t)
-        if cfg.ramp_up_iters > 0:
-            scale = jnp.minimum(i.astype(dtype) / cfg.ramp_up_iters, 1.0)
-            f = f * scale
-        # per-axis damped double integrator
-        pos_n = ad[0, 0] * pos + ad[0, 1] * vel + bd[0, 0] * f
-        vel_n = ad[1, 1] * vel + bd[1, 0] * f
-        return (pos_n, vel_n), (pos, vel)
-
+    step = _make_step(cfg, ad, bd, pobs_t, dtype, record=True)
     _, (pos_hist, vel_hist) = jax.lax.scan(
         step, (pos0, vel0), jnp.arange(cfg.loop_size)
     )
@@ -154,25 +171,10 @@ def rollout_window(cfg: RefPlanConfig, pos0, vel0, pobs, n_steps: int,
     `HLVelocity.txt` knots (40 rollout steps separate consecutive knots).
     Returns (pos, vel) after n_steps.
     """
-    if cfg.ad_ref:
-        ad = np.array([[1.0, cfg.ad_ref[0]], [0.0, cfg.ad_ref[1]]])
-        bd = np.array([[cfg.bd_ref[0]], [cfg.bd_ref[1]]])
-    else:
-        ad, bd = discretize(cfg.damping_c, cfg.mass_m, cfg.ts)
-    ad = jnp.asarray(ad, dtype)
-    bd = jnp.asarray(bd, dtype)
+    ad, bd = resolve_matrices(cfg, dtype)
     pobs_t = jnp.asarray(pobs, dtype).T
 
-    def step(carry, i):
-        pos, vel = carry
-        f = _forces(cfg, pos, vel, pobs_t)
-        if cfg.ramp_up_iters > 0:
-            scale = jnp.minimum(i.astype(dtype) / cfg.ramp_up_iters, 1.0)
-            f = f * scale
-        pos_n = ad[0, 0] * pos + ad[0, 1] * vel + bd[0, 0] * f
-        vel_n = ad[1, 1] * vel + bd[1, 0] * f
-        return (pos_n, vel_n), None
-
+    step = _make_step(cfg, ad, bd, pobs_t, dtype, record=False)
     (pos, vel), _ = jax.lax.scan(
         step, (jnp.asarray(pos0, dtype), jnp.asarray(vel0, dtype)),
         jnp.arange(start_iter, start_iter + n_steps))
@@ -184,11 +186,13 @@ def rollout_window(cfg: RefPlanConfig, pos0, vel0, pobs, n_steps: int,
 # source — the active "EXP 03" field (`src/A1_Sim_4_agents.cpp:869-870`)
 # does not reproduce the logs (agents pass within 0.19 m of its obstacles,
 # which the published repulsion law forbids). It was RECOVERED from the log
-# itself by inverse optimization (scripts/reproduce_hlpath.py): per-knot
-# implied forces identify the published constants exactly
+# itself by inverse optimization (fitting pipeline:
+# scripts/recover_hlpath_scenario.py; validation: scripts/reproduce_hlpath.py):
+# per-knot implied forces identify the published constants exactly
 # (alpha=150, eta=400, eps=60, sigma=1, dmin=1 — `src/MPC_dist.cpp:932-933`)
 # and a 9-obstacle field fitted by multiple shooting over all 2420 knots
-# reproduces every knot-to-knot transition to 0.4 mm rms / 4.9 mm max.
+# reproduces every knot-to-knot transition to 0.57 mm rms / 5.6 mm max
+# (docs/HLPATH_REPRO.json).
 HLPATH_RECOVERED_POBS = np.array([
     [3.4161, 3.3749, 6.4204, 1.4440, 3.0490, 0.4636, 7.0913, 5.1301, 10.9549],
     [-0.3334, 0.7543, -0.9941, 0.6260, 1.7799, -1.2532, 1.6365, 1.9120, -0.4131],

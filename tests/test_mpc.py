@@ -286,18 +286,15 @@ def test_mpc_dist_fixture_reconstruction():
     must land within the fixture's unrecorded-cost-tuning envelope.
     """
     import pathlib
-    import sys
 
     ref = pathlib.Path("/root/reference/matlab_dbg")
     if not ref.exists():  # pragma: no cover - reference snapshot required
         import pytest
 
         pytest.skip("reference matlab_dbg not available")
-    root = pathlib.Path(__file__).resolve().parent.parent
-    sys.path.insert(0, str(root / "scripts"))
-    import reproduce_mpc_fixture as rmf
+    from srbx.eval import mpc_fixture
 
-    r = rmf.reconstruct()
+    r = mpc_fixture.reconstruct()
     assert r["fp_residual"] < 1e-12          # COP structure: exact
     assert r["fp_rank"] == 8
     assert r["dyn_residual"] < 5e-7          # LIP Taylor-3 rollout: exact
