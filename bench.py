@@ -8,11 +8,14 @@ window + foothold/QP assembly + IPM solve + SQP CBF refinement + Bezier fit
 Operating point (measured on TPU v5e): fused single-kernel Pallas IPM,
 condensed QP with per-knot simplex elimination (n 41->17->13, me 28->4->0),
 statically-redundant rows elided (mi 92->28: big-M boxes + implied
-lambda<=1; all equivalences test-enforced), f32, B=65536 lanes.
+lambda<=1; all equivalences test-enforced), f32, B=131072 lanes.
 Progression: 73k (B=4k) -> 130k (B=64k, condensed) -> 165k (+ box elision)
 -> 176k (+ lambda-upper elision) -> 355k (+ simplex elimination) -> 361k (+ trace-time noeq kernel
 specialization: me=0 skips the whole Schur-complement stage every
-iteration) -> 367k solves/s (+ lane tile 256 -> 512).
+iteration) -> 367k solves/s (+ lane tile 256 -> 512) -> ~376k
+(B 65536 -> 131072; in-jit tiling keeps the proto O(1) in batch and the
+measured HBM peak at this batch is 9.6 GB of the 16 GB chip —
+srbx/eval/limits.py mode C).
 
 vs_baseline: the reference's real-time budget is 1 solve / 20 ms / agent
 = 50 solves/s per agent thread (its measured solve times are not published;
@@ -46,7 +49,7 @@ def main():
     from srbx.ocp import default_footholds
 
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-    batch = 65536 if on_tpu else 512
+    batch = 131072 if on_tpu else 512
     backend = "fused" if on_tpu else "xla"
     dtype = jnp.float32
 
