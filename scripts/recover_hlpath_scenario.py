@@ -427,6 +427,7 @@ def main():
                eta=float(eta0), dmin=float(dmin0))
     field = seeds.copy()                       # (k, 2)
     best = None                                # (cost, field, law)
+    drops = 0
     history = []
     n_res = ((K1 - K0 + stride - 1) // stride) * 8
     thr_schedule = [25.0, 25.0, 25.0, 12.0, 12.0, 8.0, 8.0, 5.0, 5.0, 5.0,
@@ -442,9 +443,14 @@ def main():
         history.append({"k": int(len(field)),
                         "rms_mm": float(np.sqrt(cost / n_res) * 1e3)})
         if best is not None and cost > best[0]:
+            drops += 1
+            if drops >= 2:
+                print("    repeated non-improving additions; stopping")
+                break
             print("    worse than best; dropping the last addition")
             field, law = best[1].copy(), dict(best[2])
             continue
+        drops = 0
         best = (cost, field.copy(), dict(law))
         # refresh the law on the current field (short joint LM; eps/sigma
         # are consensus-pinned and stay put, eta/dmin unlock from the grid)
@@ -504,29 +510,32 @@ def main():
     field, law = best[1], best[2]
     print(f"  pursuit field: k={len(field)}")
 
-    print("[4a] prune (drop obstacles whose removal is free)")
+    print("[4a] prune (drop obstacles whose removal is free, greedily)")
+    # Sequential-greedy: redundant near-duplicates from the pursuit cover
+    # for each other, so each is individually removable — evaluating all
+    # removals against the ORIGINAL field would wrongly drop every member
+    # of a redundant group. Remove the single cheapest obstacle, refit,
+    # re-evaluate, repeat. A real obstacle's removal costs 2-100x
+    # (leave-one-out on the frozen field: weakest real contributor 3.3x).
     cfg_pr = dataclasses.replace(cfg, **law)
     _, cost_full = lm_refine(cfg_pr, gp, gv, field.T, iters=0,
                              stride=stride, verbose=False)
-    # a real obstacle's removal costs 2-100x (leave-one-out on the frozen
-    # field: weakest real contributor 3.3x); junk from greedy overfitting
-    # refits back to ~1x
-    keep = []
-    for i in range(len(field)):
-        sub = np.delete(field, i, axis=0)
-        _, c_i = lm_refine(cfg_pr, gp, gv, sub.T, iters=10, stride=stride,
-                           verbose=False)
-        if c_i <= cost_full * 2.0:
-            print(f"    - pruned {np.round(field[i], 3)} "
-                  f"(removal cost ratio {c_i / cost_full:.3f})")
-        else:
-            keep.append(i)
-    field = field[keep]
-    if len(keep) < len(field) + 1:
-        # refit the pruned field before the joint stage
-        th_p, _ = lm_refine(cfg_pr, gp, gv, field.T, iters=10,
-                            stride=stride, verbose=False)
-        field = np.asarray(th_p[:2 * len(field)]).reshape(2, -1).T
+    while len(field) > 1:
+        ratios = []
+        for i in range(len(field)):
+            sub = np.delete(field, i, axis=0)
+            th_i, c_i = lm_refine(cfg_pr, gp, gv, sub.T, iters=10,
+                                  stride=stride, verbose=False)
+            ratios.append((c_i / cost_full, i, th_i, c_i))
+        ratios.sort()
+        ratio, i, th_i, c_i = ratios[0]
+        if ratio > 2.0:
+            break
+        print(f"    - pruned {np.round(field[i], 3)} "
+              f"(removal cost ratio {ratio:.3f})")
+        field = np.asarray(
+            th_i[:2 * (len(field) - 1)]).reshape(2, -1).T
+        cost_full = c_i
     k_sel = len(field)
     print(f"  final field: k={k_sel}")
 
@@ -550,11 +559,16 @@ def main():
                               verbose=False)
     pobs_pub = np.asarray(theta3[:2 * k_sel]).reshape(2, k_sel)
 
-    # final shooting errors with the published-constants fitted field
-    shoot = jax.jit(jax.vmap(
-        lambda p, v: refplan.rollout_window(
-            cfg_pub, p, v, jnp.asarray(pobs_pub), 40, 2000)))
-    pos1, _ = shoot(jnp.asarray(gp[K0:K1]), jnp.asarray(gv[K0:K1]))
+    # final shooting errors with the published-constants fitted field.
+    # NOTE the field is passed as a jit ARGUMENT: jit(vmap(f)) with the
+    # field as a closure constant miscompiles on CPU (measured 0.23 mm ->
+    # 44 mm rms on identical inputs; unjitted and jit-with-arg agree) —
+    # see docs/ROUND5.md.
+    shoot = jax.jit(lambda P, V, O: jax.vmap(
+        lambda p, v: refplan.rollout_window(cfg_pub, p, v, O, 40, 2000)
+    )(P, V))
+    pos1, _ = shoot(jnp.asarray(gp[K0:K1]), jnp.asarray(gv[K0:K1]),
+                    jnp.asarray(pobs_pub))
     err = np.linalg.norm(np.asarray(pos1) - gp[K0 + 1:K1 + 1], axis=2)
 
     deltas = match_to_frozen(pobs_pub)
