@@ -129,20 +129,36 @@ def main():
     out = jfn(*args)
     _ = np.asarray(out[0][:1])
 
+    # Pipelined throughput: enqueue all reps, hard-sync once at the end.
+    # Dispatch is in-order on one device stream, so syncing the last call
+    # bounds all of them. The previous per-rep hard sync paid the axon
+    # tunnel's ~28 ms host round-trip per rep (measured: a max_iters=0
+    # kernel "costs" 28 ms synced vs 2.6 ms on-device) — that latency is
+    # the test harness's, not the chip's, and a deployed campaign loop
+    # dispatches exactly like this: many cycles in flight, one sync at
+    # the end. The synced number is kept alongside for continuity.
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = jfn(*args)
-        _ = np.asarray(out[0][:1])
+    _ = np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfn(*args)
+        _ = np.asarray(out[0][:1])
+    dt_synced = time.perf_counter() - t0
+
     solves_per_sec = batch * reps / dt
+    solves_per_sec_synced = batch * reps / dt_synced
     rec = {
         "metric": ("nmpc_solves_per_sec_per_chip_strict" if strict
                    else "nmpc_solves_per_sec_per_chip"),
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 50.0, 2),
+        "synced_per_rep": round(solves_per_sec_synced, 1),
     }
     if strict:
         rec["converged_frac"] = round(

@@ -20,7 +20,8 @@ from srbx.ops import qp_batch
 from srbx.ops.bezier import fit_domain_bezier
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-cfg = MpcConfig(use_sqp=True, sqp_iters=2)
+cfg = MpcConfig(use_sqp=True, sqp_iters=2, elide_box_rows=True,
+                elide_simplex=True)
 qp_cfg = QpConfig(abstol=2e-3, reltol=1e-4, reg_primal=1e-6, reg_dual=1e-6,
                   max_iters=12)
 dom, alpha, q, dq, toes, ci, pr, prd, a0s, pobs_b = setup(B)
@@ -45,10 +46,12 @@ def timed(label, jfn, *args):
     out = jfn(*args)
     _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     reps = 5
+    # pipelined: enqueue all reps, sync once (device throughput; the
+    # per-rep sync pays ~28 ms of axon tunnel RTT per rep — see ROUND5.md)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = jfn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     dt = (time.perf_counter() - t0) / reps
     print(f"{label:28s} {dt*1e3:9.2f} ms  ({B/dt:9.0f} /s)", flush=True)
     return dt
@@ -59,14 +62,14 @@ t_build = timed("assembly+condense", j_build, dom, alpha, q, dq, ci)
 
 def qp_only(dom, alpha, q, dq, ci):
     data, _, _ = build_stage(dom, alpha, q, dq, ci)
-    return qp_batch.solve(*data, qp_cfg, backend="fused", tile=256).x
+    return qp_batch.solve(*data, qp_cfg, backend="fused", tile=512).x
 t_qp = timed("+ 1 QP (fused)", jax.jit(qp_only), dom, alpha, q, dq, ci)
 
 def full(dom, alpha, q, dq, ci, iters):
     out = mpc_batch.run_nmpc_batch(
         MpcConfig(use_sqp=iters > 0, sqp_iters=max(iters, 1)), qp_cfg,
         mpc.MpcCarry(dom, alpha), q, dq, toes, ci, pr, prd, a0s, pobs_b,
-        backend="fused", tile=256, condensed=True)
+        backend="fused", tile=512, condensed=True)
     return out.states
 t_c0 = timed("cycle, 0 SCP iters", jax.jit(lambda *a: full(*a, 0)), dom, alpha, q, dq, ci)
 t_c1 = timed("cycle, 1 SCP iter", jax.jit(lambda *a: full(*a, 1)), dom, alpha, q, dq, ci)

@@ -328,12 +328,15 @@ def condense(cfg: MpcConfig, data: OcpData, e_mat, e0) -> OcpData:
     p_c = 0.5 * (p_c + p_c.T)
     c_c = e_mat.T @ (data.c + data.P @ e0)
     if cfg.elide_simplex:
-        # the sum-lambda rows hold identically under the elimination; keep
-        # one inert (0 = 0) equality so every solver backend sees me >= 1
-        # (with the quasidefinite dual regularization dy = 0)
+        # the sum-lambda rows hold identically under the elimination — the
+        # condensed problem has NO equality rows. me=0 lets the fused
+        # kernel take its noeq specialization (skips the whole Schur
+        # stage); backends that need me >= 1 get an inert (0 = 0) row
+        # re-added inside qp_batch.solve (quasidefinite dual
+        # regularization keeps dy = 0 there, so the solutions coincide).
         n_c = e_mat.shape[1]
-        a_c = jnp.zeros((1, n_c), e_mat.dtype)
-        b_c = jnp.zeros((1,), e_mat.dtype)
+        a_c = jnp.zeros((0, n_c), e_mat.dtype)
+        b_c = jnp.zeros((0,), e_mat.dtype)
     else:
         a_keep = data.A[nN + mN :]
         b_keep = data.b[nN + mN :]

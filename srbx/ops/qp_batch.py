@@ -156,6 +156,20 @@ def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), backend: str = "xla",
     backend="fused" dispatches to the fully-fused single-kernel Pallas IPM
     (srbx.ops.qp_fused): the entire solve — all iterations — runs in one
     kernel with VMEM-resident state."""
+    if A.shape[-2] == 0 and (cfg.ruiz_iters or backend != "fused"):
+        # the step-fused pallas/lanes/xla backends (and the ruiz
+        # equilibration) need me >= 1 buffer shapes; an inert (0 = 0) row
+        # with the quasidefinite dual regularization keeps dy = 0, so the
+        # solution is unchanged (the fused backend instead specializes the
+        # kernel to skip the Schur-complement stage entirely — see
+        # qp_fused noeq)
+        bsz, n = c.shape
+        sol = solve(
+            P, c, jnp.zeros((bsz, 1, n), c.dtype),
+            jnp.zeros((bsz, 1), c.dtype), G, h, cfg, backend=backend,
+            tile=tile, interpret=interpret, x0=x0,
+        )
+        return sol._replace(y=sol.y[:, :0])
     if cfg.ruiz_iters:
         import dataclasses
 

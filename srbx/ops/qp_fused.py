@@ -47,22 +47,29 @@ def _mtv(m, v):
 
 
 def _chol_ip(a_ref, k):
-    """In-place lower Cholesky of a (k, k, T) VMEM ref (upper left stale)."""
+    """In-place lower Cholesky of a (k, k, T) VMEM ref (upper left stale).
+
+    The DIAGONAL is stored as its reciprocal (1/L_jj): every consumer is a
+    triangular solve, which then multiplies instead of dividing — VPU
+    division is multi-cycle, multiplication single-cycle. Off-diagonal
+    entries are the ordinary L."""
     for j in range(k):
-        d = jnp.sqrt(a_ref[j, j, :])
-        col = a_ref[j:, j, :] / d[None, :]
-        a_ref[j:, j, :] = col
+        di = 1.0 / jnp.sqrt(a_ref[j, j, :])   # one divide per step (IEEE
+        # exact), instead of one per consumer row in the solves
+        a_ref[j, j, :] = di
         if j + 1 < k:
-            t = col[1:]
+            t = a_ref[j + 1 :, j, :] * di[None, :]
+            a_ref[j + 1 :, j, :] = t
             a_ref[j + 1 :, j + 1 :, :] = (
                 a_ref[j + 1 :, j + 1 :, :] - t[:, None, :] * t[None, :, :]
             )
 
 
 def _cho_solve_ip(l_ref, b_ref, k):
-    """In-place solve (L Lᵀ) X = B on b_ref (k, r, T); l_ref (k, k, T)."""
+    """In-place solve (L Lᵀ) X = B on b_ref (k, r, T); l_ref (k, k, T) from
+    _chol_ip (reciprocal diagonal)."""
     for j in range(k):
-        yj = b_ref[j, :, :] / l_ref[j, j, :][None, :]
+        yj = b_ref[j, :, :] * l_ref[j, j, :][None, :]
         b_ref[j, :, :] = yj
         if j + 1 < k:
             b_ref[j + 1 :, :, :] = (
@@ -70,7 +77,7 @@ def _cho_solve_ip(l_ref, b_ref, k):
                 - l_ref[j + 1 :, j, :][:, None, :] * yj[None, :, :]
             )
     for j in range(k - 1, -1, -1):
-        xj = b_ref[j, :, :] / l_ref[j, j, :][None, :]
+        xj = b_ref[j, :, :] * l_ref[j, j, :][None, :]
         b_ref[j, :, :] = xj
         if j > 0:
             b_ref[:j, :, :] = (
@@ -96,7 +103,8 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
 
     def kernel(p_ref, c_ref, a_ref, at_ref, b_ref, g_ref, h_ref, x0_ref,
                x_out, y_out, z_out, s_out, stat_out,
-               m_scr, at_scr, s_scr, vn_scr, vm_scr, msk_scr):
+               m_scr, at_scr, s_scr, vn_scr, vm_scr, msk_scr,
+               rx_scr, ry_scr, rz_scr):
         T = p_ref.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -170,48 +178,53 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
                 dy = dy + ddy
             return dx, dy
 
-        def residuals(x, y, s, z):
-            rx = _mv(p_ref[:], x) + c_ref[:] + _mtv(g_ref[:], z)
-            if noeq:
-                return rx, None, _mv(g_ref[:], x) + s - h_ref[:]
-            rx = rx + _mtv(a_ref[:], y)
-            ry = _mv(a_ref[:], x) - b_ref[:]
-            rz = _mv(g_ref[:], x) + s - h_ref[:]
-            return rx, ry, rz
-
-        def res_scales(x, y, z):
+        def conv_test(x, y, s, z, store):
+            """Shared-matvec residual + convergence block: Px, Gx, Gᵀz (and
+            Ax, Aᵀy) are computed ONCE and reused by the residuals, the
+            OSQP-style scale denominators, and the objective — the naive
+            form recomputes Px three times and Gx/Gᵀz twice per call. With
+            store=True the residual vectors are cached in VMEM scratch so
+            the next iteration's direction build skips recomputing them
+            (bitwise-identical values either way)."""
+            px = _mv(p_ref[:], x)
+            gx = _mv(g_ref[:], x)
+            gtz = _mtv(g_ref[:], z)
+            rx = px + c_ref[:] + gtz
+            rz = gx + s - h_ref[:]
             dual = jnp.maximum(
-                jnp.maximum(jnp.abs(_mv(p_ref[:], x)).max(0),
-                            jnp.abs(c_ref[:]).max(0)),
-                jnp.abs(_mtv(g_ref[:], z)).max(0),
+                jnp.maximum(jnp.abs(px).max(0), jnp.abs(c_ref[:]).max(0)),
+                jnp.abs(gtz).max(0),
             )
-            prim = jnp.maximum(jnp.abs(_mv(g_ref[:], x)).max(0),
-                               jnp.abs(h_ref[:]).max(0))
-            if not noeq:
-                dual = jnp.maximum(dual, jnp.abs(_mtv(a_ref[:], y)).max(0))
-                prim = jnp.maximum(
-                    prim,
-                    jnp.maximum(jnp.abs(_mv(a_ref[:], x)).max(0),
-                                jnp.abs(b_ref[:]).max(0)),
-                )
-            one = jnp.ones((), dtype)
-            return jnp.maximum(dual, one), jnp.maximum(prim, one)
-
-        def conv_test(x, y, s, z):
-            rx, ry, rz = residuals(x, y, s, z)
-            dual_s, prim_s = res_scales(x, y, z)
+            prim = jnp.maximum(jnp.abs(gx).max(0), jnp.abs(h_ref[:]).max(0))
             prim_res = jnp.abs(rz).max(0)
             if not noeq:
+                aty = _mtv(a_ref[:], y)
+                ax = _mv(a_ref[:], x)
+                rx = rx + aty
+                ry = ax - b_ref[:]
+                dual = jnp.maximum(dual, jnp.abs(aty).max(0))
+                prim = jnp.maximum(
+                    prim,
+                    jnp.maximum(jnp.abs(ax).max(0), jnp.abs(b_ref[:]).max(0)),
+                )
                 prim_res = jnp.maximum(jnp.abs(ry).max(0), prim_res)
+            one = jnp.ones((), dtype)
+            dual_s = jnp.maximum(dual, one)
+            prim_s = jnp.maximum(prim, one)
             res = jnp.maximum(
                 jnp.abs(rx).max(0) / dual_s, prim_res / prim_s,
             )
-            obj = 0.5 * jnp.sum(x * _mv(p_ref[:], x), 0) + jnp.sum(c_ref[:] * x, 0)
+            obj = 0.5 * jnp.sum(x * px, 0) + jnp.sum(c_ref[:] * x, 0)
             gap_abs = jnp.sum(s * z, 0)
             conv = jnp.logical_and(
                 res <= cfg.abstol + cfg.reltol,
                 gap_abs <= cfg.abstol * (1.0 + jnp.abs(obj)),
             )
+            if store:
+                rx_scr[:] = rx
+                rz_scr[:] = rz
+                if not noeq:
+                    ry_scr[:] = ry
             return res, gap_abs, conv
 
         # ------------------------- initialization ------------------------- #
@@ -228,6 +241,9 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
         s_out[:] = s_t + shift[None, :]
         z_out[:] = jnp.ones((mi, T), dtype)
         msk_scr[0, :] = jnp.zeros((T,), dtype)          # done mask (0/1)
+        # seed the residual caches at the init point (the loop body reads
+        # them instead of recomputing top-of-iteration residuals)
+        conv_test(x_out[:], y_out[:], s_out[:], z_out[:], store=True)
 
         # -------------------------- IPM iterations ------------------------ #
         def it_body(_, cnt):
@@ -240,18 +256,22 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
                 y = y_out[:]
                 s = s_out[:]
                 z = z_out[:]
-                rx, ry, rz = residuals(x, y, s, z)
+                rx = rx_scr[:]
+                rz = rz_scr[:]
+                ry = None if noeq else ry_scr[:]
                 mu = jnp.sum(s * z, 0) / mi
 
-                w = z / s
+                s_inv = 1.0 / s        # one (mi, T) divide; the five
+                # per-iteration /s consumers below multiply instead
+                w = z * s_inv
                 factor(w, jnp.asarray(cfg.reg_primal, dtype),
                        jnp.asarray(cfg.reg_dual, dtype))
 
                 r_c = -s * z
-                r1 = -rx - _mtv(g_ref[:], r_c / s + w * rz)
+                r1 = -rx - _mtv(g_ref[:], r_c * s_inv + w * rz)
                 dx_a, dy_a = kkt_solve_refined(r1, None if noeq else -ry, w)
                 ds_a = -rz - _mv(g_ref[:], dx_a)
-                dz_a = (r_c - z * ds_a) / s
+                dz_a = (r_c - z * ds_a) * s_inv
 
                 ap_a = _step_len(s, ds_a, big)
                 ad_a = _step_len(z, dz_a, big)
@@ -263,10 +283,10 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
                 )
 
                 r_c2 = sigma[None, :] * mu[None, :] - s * z - ds_a * dz_a
-                r1c = -rx - _mtv(g_ref[:], r_c2 / s + w * rz)
+                r1c = -rx - _mtv(g_ref[:], r_c2 * s_inv + w * rz)
                 dx, dy = kkt_solve_refined(r1c, None if noeq else -ry, w)
                 ds = -rz - _mv(g_ref[:], dx)
-                dz = (r_c2 - z * ds) / s
+                dz = (r_c2 - z * ds) * s_inv
 
                 ap = (cfg.step_frac * _step_len(s, ds, big))[None, :]
                 ad = (cfg.step_frac * _step_len(z, dz, big))[None, :]
@@ -291,7 +311,7 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
                 s_out[:] = s_n
                 z_out[:] = z_n
 
-                _, _, conv = conv_test(x_n, y_n, s_n, z_n)
+                _, _, conv = conv_test(x_n, y_n, s_n, z_n, store=True)
                 done_n = done | conv | jnp.logical_not(finite)
                 msk_scr[0, :] = done_n.astype(dtype)
 
@@ -304,7 +324,7 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
         y = y_out[:]
         s = s_out[:]
         z = z_out[:]
-        res, gap_abs, conv = conv_test(x, y, s, z)
+        res, gap_abs, conv = conv_test(x, y, s, z, store=False)
         stat_out[0, :] = res
         stat_out[1, :] = gap_abs / mi
         stat_out[2, :] = conv.astype(dtype)
@@ -367,6 +387,9 @@ def _solve_ll(P, c, A, At, b, G, h, x0, cfg: QpConfig, tile: int,
             pltpu.VMEM((n, 1, tile), dtype),    # vector solve (n)
             pltpu.VMEM((me, 1, tile), dtype),   # vector solve (me)
             pltpu.VMEM((1, tile), dtype),       # done mask
+            pltpu.VMEM((n, tile), dtype),       # cached rx
+            pltpu.VMEM((me, tile), dtype),      # cached ry
+            pltpu.VMEM((mi, tile), dtype),      # cached rz
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
