@@ -77,25 +77,84 @@ def run_nmpc_batch(
         agent_initial,
     )
 
-    if condensed:
-        data_s = jax.vmap(lambda d, e, o: condense(cfg, d, e, o))(
-            data, e_mat, e0
-        )
-    else:
-        data_s = data
-
-    if x0_warm is not None:
-        x0w = (
-            jax.vmap(lambda xx, cc: contract(cfg, xx, cc))(x0_warm, ci_eff)
-            if condensed else x0_warm
-        )
-    else:
-        x0w = None
-    qp_sol = qp_batch.solve(*data_s, qp_cfg, backend=backend, tile=tile,
-                            interpret=interpret, x0=x0w)
-    x = (
-        jax.vmap(expand)(e_mat, e0, qp_sol.x) if condensed else qp_sol.x
+    # Lanes-last condensed pipeline (the TPU production path): when the
+    # fused kernel will run anyway, compute the CONDENSED operands directly
+    # in lanes-last layout instead of per-lane-vmapped matmuls followed by
+    # a batch-leading -> lanes-last relayout of every operand. The
+    # materialized transposes were profiled at ~20 ms/solve at B=131072 —
+    # more than the solve itself once lanes converge early. This exploits
+    # two structural facts of the assembled QP: the full-space P is
+    # DIAGONAL, and the full-space G/h carry no per-lane values (cop, box,
+    # lambda rows are config constants).
+    use_ll = (
+        condensed and backend == "fused" and cfg.elide_simplex
+        and bsz % tile == 0
     )
+    if use_ll:
+        from srbx.ops import qp_fused
+
+        proto = assemble(
+            cfg, jnp.zeros((4,), dtype),
+            jnp.zeros((4, cfg.horizon), dtype),
+            jnp.zeros((2, 4), dtype), jnp.ones((4,), dtype), dtype=dtype,
+        )
+        g_full, h_full = proto.G, proto.h          # lane-constant
+
+        e_ll = jnp.moveaxis(e_mat, 0, -1)          # (n_full, n_c, B)
+        e0_ll = jnp.swapaxes(e0, 0, 1)             # (n_full, B)
+        d_ll = jnp.swapaxes(
+            jnp.diagonal(data.P, axis1=-2, axis2=-1), 0, 1
+        )                                          # (n_full, B); P diagonal
+        c_ll = jnp.swapaxes(data.c, 0, 1)          # (n_full, B)
+
+        pe = e_ll * d_ll[:, None, :]
+        p_ll = jnp.sum(pe[:, :, None, :] * e_ll[:, None, :, :], axis=0)
+        p_ll = 0.5 * (p_ll + jnp.swapaxes(p_ll, 0, 1))
+        cc_ll = jnp.sum(e_ll * (c_ll + d_ll * e0_ll)[:, None, :], axis=0)
+        g_ll = jnp.einsum("mn,nkb->mkb", g_full, e_ll)
+        h_ll = h_full[:, None] - jnp.einsum("mn,nb->mb", g_full, e0_ll)
+
+        def _contract_ll(x_b):
+            return jnp.swapaxes(
+                jax.vmap(lambda xx, cc: contract(cfg, xx, cc))(x_b, ci_eff),
+                0, 1,
+            )
+
+        def _expand_ll_full(x_ll):
+            """Full-space solution, still lanes-last: (n_full, B)."""
+            return e0_ll + jnp.sum(e_ll * x_ll[None, :, :], axis=1)
+
+        x0_ll = None if x0_warm is None else _contract_ll(x0_warm)
+        x_ll, _, _, stat1 = qp_fused.solve_lanes_last(
+            p_ll, cc_ll, g_ll, h_ll, qp_cfg, tile=tile,
+            interpret=interpret, x0=x0_ll,
+        )
+        qp_converged = stat1[2] > 0.5
+        qp_iters = stat1[3].max().astype(jnp.int32)
+        xf_ll = _expand_ll_full(x_ll)
+        x = jnp.swapaxes(xf_ll, 0, 1)
+    else:
+        if condensed:
+            data_s = jax.vmap(lambda d, e, o: condense(cfg, d, e, o))(
+                data, e_mat, e0
+            )
+        else:
+            data_s = data
+
+        if x0_warm is not None:
+            x0w = (
+                jax.vmap(lambda xx, cc: contract(cfg, xx, cc))(x0_warm, ci_eff)
+                if condensed else x0_warm
+            )
+        else:
+            x0w = None
+        qp_sol = qp_batch.solve(*data_s, qp_cfg, backend=backend, tile=tile,
+                                interpret=interpret, x0=x0w)
+        qp_converged = qp_sol.converged
+        qp_iters = qp_sol.iters
+        x = (
+            jax.vmap(expand)(e_mat, e0, qp_sol.x) if condensed else qp_sol.x
+        )
 
     obs_xy = jax.vmap(lambda q, p: mpc.closest_obstacle(q, p.astype(dtype))[0])(
         q_xy, pobs_real
@@ -112,33 +171,79 @@ def run_nmpc_batch(
             (bsz, 2),
         )
 
-    if cfg.use_sqp:
+    if cfg.use_sqp and use_ll:
+        # Lanes-last SCP: rows are built per-lane (vmapped _cbf_rows, same
+        # as the generic path), then projected onto the condensed space in
+        # lanes-last via one multiply-reduce per iteration. (A "structural"
+        # variant exploiting the 3-nonzero CBF rows measured ~20% SLOWER
+        # at B=131072 — XLA fuses the dense reduce better than the
+        # many-small-ops build.)
         vel_g, vel_h = sqp._vel_rows(cfg, dtype)
         for _ in range(cfg.sqp_iters):
             cbf = jax.vmap(
                 lambda xx, cc, mm: sqp._cbf_rows(cfg, xx, cc, mm, dtype)
             )(x, circles, mask)
-            g_ext = jnp.concatenate(
-                [data.G, jnp.broadcast_to(vel_g, (bsz,) + vel_g.shape), cbf[0]],
+            new_g = jnp.concatenate(
+                [jnp.broadcast_to(vel_g, (bsz,) + vel_g.shape), cbf[0]],
                 axis=1,
             )
-            h_ext = jnp.concatenate(
-                [data.h, jnp.broadcast_to(vel_h, (bsz,) + vel_h.shape), cbf[1]],
+            new_h = jnp.concatenate(
+                [jnp.broadcast_to(vel_h, (bsz,) + vel_h.shape), cbf[1]],
+                axis=1,
+            )
+            ng_ll = jnp.moveaxis(new_g, 0, -1)         # (rows, n_full, B)
+            nh_ll = jnp.swapaxes(new_h, 0, 1)
+            png = jnp.sum(
+                ng_ll[:, :, None, :] * e_ll[None, :, :, :], axis=1
+            )
+            pnh = nh_ll - jnp.sum(ng_ll * e0_ll[None, :, :], axis=1)
+            g_s = jnp.concatenate([g_ll, png], axis=0)
+            h_s = jnp.concatenate([h_ll, pnh], axis=0)
+            x_ll2, _, _, _ = qp_fused.solve_lanes_last(
+                p_ll, cc_ll, g_s, h_s, qp_cfg, tile=tile,
+                interpret=interpret, x0=_contract_ll(x),
+            )
+            xf_new = _expand_ll_full(x_ll2)
+            ok = jnp.isfinite(xf_new).all(0)[None, :]
+            xf_ll = jnp.where(ok, xf_new, xf_ll)
+            x = jnp.swapaxes(xf_ll, 0, 1)
+    elif cfg.use_sqp:
+        vel_g, vel_h = sqp._vel_rows(cfg, dtype)
+        for _ in range(cfg.sqp_iters):
+            cbf = jax.vmap(
+                lambda xx, cc, mm: sqp._cbf_rows(cfg, xx, cc, mm, dtype)
+            )(x, circles, mask)
+            new_g = jnp.concatenate(
+                [jnp.broadcast_to(vel_g, (bsz,) + vel_g.shape), cbf[0]],
+                axis=1,
+            )
+            new_h = jnp.concatenate(
+                [jnp.broadcast_to(vel_h, (bsz,) + vel_h.shape), cbf[1]],
                 axis=1,
             )
             if condensed:
-                g_s, h_s = jax.vmap(condense_rows)(g_ext, h_ext, e_mat, e0)
+                # data.G's projection was already computed in condense()
+                # (data_s.G/h) — only the fresh vel+CBF rows need the
+                # full-space -> condensed row projection (bitwise the same
+                # result as projecting the whole stacked block)
+                ng_s, nh_s = jax.vmap(condense_rows)(new_g, new_h, e_mat, e0)
+                g_s = jnp.concatenate([data_s.G, ng_s], axis=1)
+                h_s = jnp.concatenate([data_s.h, nh_s], axis=1)
                 x0_s = jax.vmap(lambda xx, cc: contract(cfg, xx, cc))(
                     x, ci_eff)
+                sol = qp_batch.solve(
+                    data_s.P, data_s.c, data_s.A, data_s.b, g_s, h_s, qp_cfg,
+                    backend=backend, tile=tile, interpret=interpret, x0=x0_s,
+                )
+                x_new = jax.vmap(expand)(e_mat, e0, sol.x)
             else:
-                g_s, h_s, x0_s = g_ext, h_ext, x
-            sol = qp_batch.solve(
-                data_s.P, data_s.c, data_s.A, data_s.b, g_s, h_s, qp_cfg,
-                backend=backend, tile=tile, interpret=interpret, x0=x0_s,
-            )
-            x_new = (
-                jax.vmap(expand)(e_mat, e0, sol.x) if condensed else sol.x
-            )
+                g_s = jnp.concatenate([data.G, new_g], axis=1)
+                h_s = jnp.concatenate([data.h, new_h], axis=1)
+                sol = qp_batch.solve(
+                    data_s.P, data_s.c, data_s.A, data_s.b, g_s, h_s, qp_cfg,
+                    backend=backend, tile=tile, interpret=interpret, x0=x,
+                )
+                x_new = sol.x
             ok = jnp.isfinite(x_new).all(-1, keepdims=True)
             x = jnp.where(ok, x_new, x)
 
@@ -160,6 +265,6 @@ def run_nmpc_batch(
         x, circles
     )
     return mpc.MpcOutput(
-        alpha_com, states, inputs, new_carry, qp_sol.converged, qp_sol.iters,
+        alpha_com, states, inputs, new_carry, qp_converged, qp_iters,
         margin, x,
     )

@@ -258,20 +258,34 @@ def expansion(cfg: MpcConfig, x0, foothold_xy, contact_ind, dtype=None):
     su = jnp.asarray(su, dtype)
 
     # u = blockdiag(Fp) lambda with Fp masked by contact (runtime values).
+    # Built as kron/concat block composition, NOT .at[].set scatters: under
+    # vmap each batched dynamic-update-slice rewrites the whole padded
+    # (B, rows, cols) buffer — profiled at 53 ms per scatter at B=131072
+    # (the lane dim pads 17 -> 128), which made this function 60% of the
+    # NMPC cycle. The block composition fuses to one pass.
     fp = foothold_xy.astype(dtype) * contact_ind.astype(dtype)[None, :]
-    efp = jnp.zeros((mN, n_lam), dtype)
-    for k in range(N):
-        efp = efp.at[k * m : (k + 1) * m, 4 * k : 4 * (k + 1)].set(fp)
+    efp = jnp.kron(jnp.eye(N, dtype=dtype), fp)        # (mN, n_lam) blockdiag
 
-    e_mat = jnp.zeros((n, n_cond), dtype)
-    e_mat = e_mat.at[:nN, :n_lam].set(su @ efp)
-    e_mat = e_mat.at[nN : nN + mN, :n_lam].set(efp)
-    e_mat = e_mat.at[nN + mN : nN + mN + n_lam, :n_lam].set(
-        jnp.eye(n_lam, dtype=dtype)
+    def _with_zero_col(block):
+        return jnp.concatenate(
+            [block, jnp.zeros(block.shape[:-1] + (1,), dtype)], axis=-1
+        )
+
+    slack_row = jnp.concatenate(
+        [jnp.zeros((1, n_lam), dtype), jnp.ones((1, 1), dtype)], axis=-1
     )
-    e_mat = e_mat.at[n - 1, n_cond - 1].set(1.0)
-
-    e0 = jnp.zeros((n,), dtype).at[:nN].set(sx @ x0.astype(dtype))
+    e_mat = jnp.concatenate(
+        [
+            _with_zero_col(su @ efp),                  # states = Su u
+            _with_zero_col(efp),                       # inputs = Fp lambda
+            _with_zero_col(jnp.eye(n_lam, dtype=dtype)),
+            slack_row,
+        ],
+        axis=0,
+    )
+    e0 = jnp.concatenate(
+        [sx @ x0.astype(dtype), jnp.zeros((n - nN,), dtype)]
+    )
 
     if cfg.elide_simplex:
         # Second-stage elimination: per knot, express the first stance leg's
@@ -282,12 +296,22 @@ def expansion(cfg: MpcConfig, x0, foothold_xy, contact_ind, dtype=None):
         # n_cond 17 -> 13.
         t_knot, d_knot = _simplex_elim_maps(contact_ind, dtype)
         n_cond2 = 3 * cfg.ndomain + 1
-        t_mat = jnp.zeros((n_cond, n_cond2), dtype)
-        d_vec = jnp.zeros((n_cond,), dtype)
-        for k in range(cfg.ndomain):
-            t_mat = t_mat.at[4 * k : 4 * k + 4, 3 * k : 3 * k + 3].set(t_knot)
-            d_vec = d_vec.at[4 * k : 4 * k + 4].set(d_knot)
-        t_mat = t_mat.at[n_cond - 1, n_cond2 - 1].set(1.0)
+        t_core = jnp.kron(jnp.eye(cfg.ndomain, dtype=dtype), t_knot)
+        t_mat = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [t_core, jnp.zeros((n_lam, 1), dtype)], axis=-1
+                ),
+                jnp.concatenate(
+                    [jnp.zeros((1, n_cond2 - 1), dtype),
+                     jnp.ones((1, 1), dtype)], axis=-1,
+                ),
+            ],
+            axis=0,
+        )
+        d_vec = jnp.concatenate(
+            [jnp.tile(d_knot, cfg.ndomain), jnp.zeros((1,), dtype)]
+        )
         e0 = e0 + e_mat @ d_vec
         e_mat = e_mat @ t_mat
 

@@ -228,12 +228,21 @@ def _make_kernel(n, me, mi, cfg: QpConfig, has_x0: bool, dtype,
             return res, gap_abs, conv
 
         # ------------------------- initialization ------------------------- #
-        ones_w = jnp.ones((mi, T), dtype)
-        factor(ones_w, jnp.asarray(1.0, dtype), jnp.asarray(cfg.reg_dual, dtype))
-        r1 = -c_ref[:] + _mtv(g_ref[:], h_ref[:])
-        x_init, y_init = kkt_solve(r1, b_ref[:])
-        if has_x0:
+        if has_x0 and noeq:
+            # warm start with no equality rows: the least-squares init
+            # solve's x would be overwritten by x0 and its y is the (0,)
+            # equality dual — the whole init factorization is dead work
+            # (the first iteration re-factors with the real w anyway)
             x_init = x0_ref[:]
+            y_init = jnp.zeros((me, T), dtype)
+        else:
+            ones_w = jnp.ones((mi, T), dtype)
+            factor(ones_w, jnp.asarray(1.0, dtype),
+                   jnp.asarray(cfg.reg_dual, dtype))
+            r1 = -c_ref[:] + _mtv(g_ref[:], h_ref[:])
+            x_init, y_init = kkt_solve(r1, b_ref[:])
+            if has_x0:
+                x_init = x0_ref[:]
         x_out[:] = x_init
         y_out[:] = y_init
         s_t = h_ref[:] - _mv(g_ref[:], x_init)
@@ -397,6 +406,36 @@ def _solve_ll(P, c, A, At, b, G, h, x0, cfg: QpConfig, tile: int,
         ),
     )(P, c, A, At, b, G, h, x0)
     return out
+
+
+def solve_lanes_last(P, c, G, h, cfg: QpConfig = QpConfig(),
+                     tile: int = DEFAULT_TILE, interpret: bool = False,
+                     x0=None):
+    """Inequality-only (noeq) fused solve on LANES-LAST operands.
+
+    P (n, n, B), c (n, B), G (mi, n, B), h (mi, B), optional x0 (n, B);
+    returns (x (n, B), z (mi, B), s (mi, B), stat (8, B)) — all lanes-last.
+
+    This is the zero-relayout entry for producers that already compute in
+    lanes-last layout (srbx.mpc_batch's condensed pipeline): the
+    batch-leading `solve` pays one materialized transpose per operand
+    (~300 MB/cycle at B=131072 — profiled at ~20 ms, more than the solve
+    itself once lanes converge early). B must be a multiple of `tile`.
+    """
+    n, bsz = c.shape
+    me = 1  # noeq placeholder row (never read by the specialized kernel)
+    if bsz % tile:
+        raise ValueError(f"lanes-last solve needs batch % tile == 0, got "
+                         f"{bsz} % {tile}")
+    zero_a = jnp.zeros((me, n, bsz), c.dtype)
+    zero_b = jnp.zeros((me, bsz), c.dtype)
+    has_x0 = x0 is not None
+    x0_ll = x0 if has_x0 else jnp.zeros((n, bsz), c.dtype)
+    x, _, z, s, stat = _solve_ll(
+        P, c, zero_a, jnp.swapaxes(zero_a, 0, 1), zero_b, G, h,
+        x0_ll, cfg, tile, interpret, has_x0, noeq=True,
+    )
+    return x, z, s, stat
 
 
 def solve(P, c, A, b, G, h, cfg: QpConfig = QpConfig(), tile: int = DEFAULT_TILE,

@@ -118,12 +118,20 @@ def solve(
     def body(_, carry):
         x, _, _ = carry
         cbf_g, cbf_h = _cbf_rows(cfg, x, circles, circle_mask, dtype)
-        g_ext = jnp.concatenate([row_src.G, vel_g, cbf_g], axis=0)
-        h_ext = jnp.concatenate([row_src.h, vel_h, cbf_h], axis=0)
         if condensed:
-            g_ext, h_ext = condense_rows(g_ext, h_ext, e_mat, e0)
+            # row_src.G's projection is already data.G (computed once in
+            # condense()); only the fresh vel+CBF rows need projecting —
+            # bitwise the same as projecting the whole stacked block
+            ng, nh = condense_rows(
+                jnp.concatenate([vel_g, cbf_g], axis=0),
+                jnp.concatenate([vel_h, cbf_h], axis=0), e_mat, e0,
+            )
+            g_ext = jnp.concatenate([data.G, ng], axis=0)
+            h_ext = jnp.concatenate([data.h, nh], axis=0)
             x0_s = contract(cfg, x, contact_ind)
         else:
+            g_ext = jnp.concatenate([row_src.G, vel_g, cbf_g], axis=0)
+            h_ext = jnp.concatenate([row_src.h, vel_h, cbf_h], axis=0)
             x0_s = x
         sol = qp.solve(data.P, data.c, data.A, data.b, g_ext, h_ext, qp_cfg,
                        x0=x0_s)
