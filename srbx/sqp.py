@@ -75,10 +75,17 @@ def _cbf_rows(cfg: MpcConfig, x, circles, circle_mask, dtype):
     g_val = dx * dx + dy * dy + slack                  # (n_circ, N)
 
     n_circ = circles.shape[0]
-    rows = jnp.zeros((n_circ, N, n), dtype)
-    rows = rows.at[:, jnp.arange(N), xi].set(-2.0 * dx)
-    rows = rows.at[:, jnp.arange(N), yi].set(-2.0 * dy)
-    rows = rows.at[:, :, -1].set(-1.0)
+    # scatter-free build: batched .at[].set() compiles to a full rewrite of
+    # the padded destination per scatter (see ocp.expansion); the rows are
+    # 3-sparse, so compose them from constant one-hot masks instead
+    oh_x = jax.nn.one_hot(xi, n, dtype=dtype)          # (N, n) constants
+    oh_y = jax.nn.one_hot(yi, n, dtype=dtype)
+    oh_s = jax.nn.one_hot(n - 1, n, dtype=dtype)
+    rows = (
+        (-2.0 * dx)[:, :, None] * oh_x[None, :, :]
+        + (-2.0 * dy)[:, :, None] * oh_y[None, :, :]
+        - oh_s[None, None, :]
+    )
     # -grad.x <= -eps + g - grad.x_j ; grad.x_j = 2dx*px + 2dy*py + slack
     grad_dot_xj = 2.0 * dx * px[None, :] + 2.0 * dy * py[None, :] + slack
     rhs = -cfg.cbf_eps + g_val - grad_dot_xj           # (n_circ, N)
